@@ -1,0 +1,110 @@
+"""B-spline interpolation kernels for particle<->grid transfers.
+
+Reference equivalent: Lib/Ziran/Math/Splines/BSplines.h (BSplineWeights) —
+quadratic (3-wide) kernels, the stencil HOT uses for all its scenes.
+TPU-native design notes: weights are *recomputed* inside transfer kernels
+rather than stored per particle (recompute beats the HBM round-trip), and
+everything is shaped for `vmap` over particles.
+
+Conventions:
+  * Grid nodes sit at integer multiples of dx (node i at position i*dx).
+  * For the quadratic kernel a particle at position x has base node
+    b = floor(x/dx - 0.5); its stencil is nodes b, b+1, b+2 per axis.
+  * `quadratic_bspline_weights` returns per-axis weights w[(dim, 3)] and
+    derivative weights dw[(dim, 3)] (d/dx of the 1D kernel, in 1/dx units
+    applied — i.e. already divided by dx).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quadratic_kernel_1d(u):
+    """Quadratic B-spline N(u) evaluated at the 3 stencil offsets.
+
+    `u` is the fractional position x/dx - base (in [0.5, 1.5)); returns
+    weights for nodes at offsets 0, 1, 2 from the base node.
+      N(t) = 3/4 - t^2           for |t| < 1/2
+           = (3/2 - |t|)^2 / 2   for 1/2 <= |t| < 3/2
+    The three stencil arguments are t0 = u, t1 = u - 1, t2 = u - 2 with
+    t0 in [0.5, 1.5), t1 in [-0.5, 0.5), t2 in [-1.5, -0.5).
+    """
+    t0 = u          # in [0.5, 1.5): outer branch
+    t1 = u - 1.0    # in [-0.5, 0.5): inner branch
+    t2 = u - 2.0    # in [-1.5, -0.5): outer branch
+    w0 = 0.5 * (1.5 - t0) ** 2
+    w1 = 0.75 - t1 * t1
+    w2 = 0.5 * (1.5 + t2) ** 2
+    return jnp.stack([w0, w1, w2], axis=-1)
+
+
+def quadratic_kernel_grad_1d(u):
+    """d/dt of the quadratic kernel at the 3 stencil offsets (see above)."""
+    t0 = u
+    t1 = u - 1.0
+    t2 = u - 2.0
+    g0 = t0 - 1.5
+    g1 = -2.0 * t1
+    g2 = t2 + 1.5
+    return jnp.stack([g0, g1, g2], axis=-1)
+
+
+def quadratic_bspline_weights(x, dx):
+    """Base node + per-axis weights for particle position(s) x.
+
+    Args:
+      x: (..., dim) particle positions.
+      dx: grid spacing (scalar).
+
+    Returns:
+      base: (..., dim) int32 base node index per axis.
+      w:    (..., dim, 3) interpolation weights per axis per offset.
+      dw:   (..., dim, 3) d/dx weights per axis per offset (units 1/dx).
+    """
+    xs = x / dx
+    base = jnp.floor(xs - 0.5)
+    u = xs - base  # in [0.5, 1.5)
+    w = quadratic_kernel_1d(u)
+    dw = quadratic_kernel_grad_1d(u) / dx
+    return base.astype(jnp.int32), w, dw
+
+
+def stencil_offsets(dim: int):
+    """All 3^dim integer offsets of the quadratic stencil, shape (3^dim, dim)."""
+    grids = jnp.meshgrid(*([jnp.arange(3)] * dim), indexing="ij")
+    return jnp.stack([g.reshape(-1) for g in grids], axis=-1).astype(jnp.int32)
+
+
+def tensor_weights(w, dw):
+    """Combine per-axis weights into per-stencil-node weight and gradient.
+
+    Args:
+      w:  (..., dim, 3) per-axis weights.
+      dw: (..., dim, 3) per-axis derivative weights.
+
+    Returns:
+      wn:  (..., 3^dim) scalar weight per stencil node.
+      gwn: (..., 3^dim, dim) weight gradient per stencil node.
+    """
+    dim = w.shape[-2]
+    if dim == 2:
+        wi = w[..., 0, :, None]      # (..., 3, 1)
+        wj = w[..., 1, None, :]      # (..., 1, 3)
+        wn = (wi * wj).reshape(w.shape[:-2] + (9,))
+        gx = (dw[..., 0, :, None] * wj).reshape(w.shape[:-2] + (9,))
+        gy = (wi * dw[..., 1, None, :]).reshape(w.shape[:-2] + (9,))
+        gwn = jnp.stack([gx, gy], axis=-1)
+    elif dim == 3:
+        wi = w[..., 0, :, None, None]
+        wj = w[..., 1, None, :, None]
+        wk = w[..., 2, None, None, :]
+        shape = w.shape[:-2] + (27,)
+        wn = (wi * wj * wk).reshape(shape)
+        gx = (dw[..., 0, :, None, None] * wj * wk).reshape(shape)
+        gy = (wi * dw[..., 1, None, :, None] * wk).reshape(shape)
+        gz = (wi * wj * dw[..., 2, None, None, :]).reshape(shape)
+        gwn = jnp.stack([gx, gy, gz], axis=-1)
+    else:
+        raise ValueError(f"dim must be 2 or 3, got {dim}")
+    return wn, gwn

@@ -1,0 +1,149 @@
+"""Particle <-> grid transfer operators (P2G scatter, G2P gather).
+
+Reference equivalents: the P2G/G2P kernels inside Lib/MPM/MpmSimulationBase
+(component #26, SURVEY.md §2.2) — OpenMP scatter with block coloring. On
+TPU there are no races to color away: scatters are expressed as XLA
+scatter-adds (deterministic on TPU/CPU backends) over a dense logical grid,
+batched across all particles and all 3^dim stencil nodes at once. A
+sorted-by-tile Pallas path for sparse grids layers on top of these
+primitives (hot_tpu.ops.tile_transfer).
+
+All operators take a *flattened* dense grid of shape (n_nodes, ...) plus a
+precomputed per-particle `Stencil` (node ids, tensor weights, node-particle
+offsets); this keeps one code path for 2D/3D and lets the implicit solver
+reuse the same stencil for its force/Hessian scatters (reference:
+FBasedMpmForceHelper, component #27).
+
+Out-of-domain stencil nodes are clipped to the boundary; callers must keep
+particles at least one cell inside the domain (the sim enforces this via
+collision objects, as the reference does).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
+
+
+class Stencil(NamedTuple):
+    """Per-particle quadratic-B-spline stencil against a dense flat grid."""
+
+    node_ids: jnp.ndarray  # (n, 3^dim) int32 flat node indices (row-major)
+    wn: jnp.ndarray        # (n, 3^dim) interpolation weights
+    gwn: jnp.ndarray       # (n, 3^dim, dim) weight gradients (1/dx units)
+    rel: jnp.ndarray       # (n, 3^dim, dim) node_pos - particle_pos
+
+
+def particle_stencil(x, dx, res: Tuple[int, ...]) -> Stencil:
+    """Build the transfer stencil for particle positions x: (n, dim)."""
+    dim = x.shape[-1]
+    base, w, dw = quadratic_bspline_weights(x, dx)
+    wn, gwn = tensor_weights(w, dw)
+    offs = stencil_offsets(dim)                        # (3^dim, dim)
+    coords = base[:, None, :] + offs[None, :, :]       # (n, 3^dim, dim)
+    res_arr = jnp.asarray(res, dtype=jnp.int32)
+    coords = jnp.clip(coords, 0, res_arr[None, None, :] - 1)
+    strides = _row_major_strides(res)
+    node_ids = jnp.sum(coords * strides[None, None, :], axis=-1)
+    rel = coords.astype(x.dtype) * dx - x[:, None, :]
+    return Stencil(node_ids=node_ids, wn=wn, gwn=gwn, rel=rel)
+
+
+def _row_major_strides(res) -> jnp.ndarray:
+    strides = []
+    s = 1
+    for r in reversed(res):
+        strides.append(s)
+        s *= int(r)
+    return jnp.asarray(strides[::-1], dtype=jnp.int32)
+
+
+def n_nodes_of(res) -> int:
+    n = 1
+    for r in res:
+        n *= int(r)
+    return n
+
+
+def unravel(node_ids, res):
+    """Flat row-major ids -> integer coords (..., dim)."""
+    strides = _row_major_strides(res)
+    coords = []
+    rem = node_ids
+    for k in range(len(res)):
+        c = rem // strides[k]
+        rem = rem - c * strides[k]
+        coords.append(c)
+    return jnp.stack(coords, axis=-1)
+
+
+def node_positions(res, dx, dtype=jnp.float32):
+    """(n_nodes, dim) physical positions of all grid nodes (node i at i*dx)."""
+    ids = jnp.arange(n_nodes_of(res), dtype=jnp.int32)
+    return unravel(ids, res).astype(dtype) * dx
+
+
+def scatter_sum(node_ids, values, n_nodes: int):
+    """Sum per-(particle, stencil-node) values onto flat grid nodes.
+
+    values: (n, 3^dim) or (n, 3^dim, c) -> (n_nodes,) or (n_nodes, c).
+    XLA lowers .at[].add to a deterministic scatter-add on TPU/CPU.
+    """
+    flat_ids = node_ids.reshape(-1)
+    flat_vals = values.reshape((flat_ids.shape[0],) + values.shape[node_ids.ndim:])
+    zeros = jnp.zeros((n_nodes,) + flat_vals.shape[1:], dtype=values.dtype)
+    return zeros.at[flat_ids].add(flat_vals)
+
+
+def gather(grid_vals, node_ids):
+    """Gather per-stencil-node grid values: (n_nodes, ...) -> (n, 3^dim, ...)."""
+    return grid_vals[node_ids]
+
+
+# ---------------------------------------------------------------------------
+# MPM-specific transfers
+# ---------------------------------------------------------------------------
+
+
+def p2g_mass_momentum(st: Stencil, v, C, m, n_nodes: int):
+    """APIC P2G: scatter mass and momentum (with affine term) to the grid.
+
+    momentum_i = sum_p w_ip m_p (v_p + C_p (x_i - x_p))
+    Reference: particlesToGrid (components #24/#26).
+    """
+    affine_v = v[:, None, :] + jnp.einsum("pij,pkj->pki", C, st.rel)
+    mw = m[:, None] * st.wn
+    grid_m = scatter_sum(st.node_ids, mw, n_nodes)
+    grid_mv = scatter_sum(st.node_ids, mw[:, :, None] * affine_v, n_nodes)
+    return grid_m, grid_mv
+
+
+def g2p(st: Stencil, grid_v, dx):
+    """Gather particle velocity, velocity gradient, and APIC C matrix.
+
+    C = (4/dx^2) sum_i w_ip v_i (x_i - x_p)^T  (quadratic-kernel APIC D^-1).
+    Reference: gridToParticles (component #26).
+    """
+    vi = gather(grid_v, st.node_ids)                   # (n, 3^dim, dim)
+    v_p = jnp.sum(st.wn[:, :, None] * vi, axis=1)
+    grad_v = jnp.einsum("pki,pkj->pij", vi, st.gwn)
+    C = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (4.0 / (dx * dx))
+    return v_p, grad_v, C
+
+
+def velocity_gradient(st: Stencil, grid_v):
+    """grad_v_p = sum_i v_i (grad w_ip)^T — used by force/Hessian evals."""
+    vi = gather(grid_v, st.node_ids)
+    return jnp.einsum("pki,pkj->pij", vi, st.gwn)
+
+
+def scatter_force(st: Stencil, PFt, V0, n_nodes: int):
+    """f_i = -sum_p V0_p (P F_n^T)_p grad_w_ip — elastic force scatter.
+
+    PFt: (n, dim, dim) = P(F_new) @ F_n^T per particle.
+    """
+    contrib = -jnp.einsum("p,pij,pkj->pki", V0, PFt, st.gwn)
+    return scatter_sum(st.node_ids, contrib, n_nodes)

@@ -1,0 +1,211 @@
+"""Benchmark scenes (reference: Projects/multigrid/MultigridInit*.h).
+
+Each builder returns a dict:
+  cfg: SimConfig, state: ParticleState, model: constitutive class,
+  colliders: tuple, plasticity: str|None.
+
+The three acceptance scenes of BASELINE.json:5 are here — twisting bar,
+stacked boxes (stiffness contrast), faceless-character drop (approximated
+by an analytic-level-set body: the reference loads a mesh asset we do not
+ship; geometry differs, solver behavior class is the same) — plus the
+CPU-runnable config-1 block drop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hot_tpu.models.constitutive import MODEL_REGISTRY, lame_parameters
+from hot_tpu.sim.collision import SEPARATE, SLIP, STICKY, AxisBox, HalfSpace, Sphere
+from hot_tpu.sim.seeding import sample_box, sample_level_set, sample_sphere
+from hot_tpu.sim.state import concatenate_states, make_particle_state
+from hot_tpu.utils.config import SimConfig
+
+
+def block_drop_2d(res: int = 64, E: float = 1e5, dtype=jnp.float32):
+    """Config 1 (BASELINE.json:7): 2D elastic block drop, 64^2, ~10k particles."""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=2,
+        dx=dx,
+        grid_res=(res, res),
+        gravity=(0.0, -9.81),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    key = jax.random.PRNGKey(0)
+    x, vol = sample_box(key, (0.3, 0.45), (0.7, 0.65), dx, particles_per_cell=4, dtype=dtype)
+    mu, lam = lame_parameters(E, 0.3)
+    state = make_particle_state(
+        x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
+    )
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.15), n=(0.0, 1.0)),)
+    return dict(
+        cfg=cfg,
+        state=state,
+        model=MODEL_REGISTRY["fixed_corotated"],
+        colliders=colliders,
+        plasticity=None,
+    )
+
+
+def twisting_bar_3d(res: int = 64, E: float = 1e6, omega: float = 4.0 * np.pi,
+                    ppc: int = 8, dtype=jnp.float32):
+    """Configs 2/3 (BASELINE.json:8-9): 3D bar twisted by rotating end clamps.
+
+    Reference scene: HOT's "twist" — a fixed-corotated bar; both end clamps
+    counter-rotate about the bar (x) axis at angular speed omega (scripted
+    sticky collision objects, component #18).
+    """
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, 0.0, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    key = jax.random.PRNGKey(1)
+    x, vol = sample_box(
+        key, (0.2, 0.4, 0.4), (0.8, 0.6, 0.6), dx, particles_per_cell=ppc, dtype=dtype
+    )
+    mu, lam = lame_parameters(E, 0.3)
+    state = make_particle_state(
+        x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
+    )
+    center = (0.5, 0.5, 0.5)
+
+    def spin(sign):
+        def motion(t):
+            w = jnp.asarray([sign * omega, 0.0, 0.0])
+            return jnp.zeros(3), w, jnp.asarray(center)
+
+        return motion
+
+    colliders = (
+        AxisBox(kind=STICKY, lo=(0.0, 0.3, 0.3), hi=(0.25, 0.7, 0.7), motion=spin(+1.0)),
+        AxisBox(kind=STICKY, lo=(0.75, 0.3, 0.3), hi=(1.0, 0.7, 0.7), motion=spin(-1.0)),
+    )
+    return dict(
+        cfg=cfg,
+        state=state,
+        model=MODEL_REGISTRY["fixed_corotated"],
+        colliders=colliders,
+        plasticity=None,
+    )
+
+
+def stacked_boxes_3d(res: int = 64, ppc: int = 8, dtype=jnp.float32):
+    """Config 4 (BASELINE.json:10): stacked boxes with stiffness contrast.
+
+    Three boxes, E spanning 1e4..1e8 (multi-material via per-particle Lame
+    arrays), dropping onto a sticky floor — the conditioning stress test.
+    """
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, -9.81, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    stiffness = [1e4, 1e6, 1e8]
+    states = []
+    for i, E in enumerate(stiffness):
+        key = jax.random.PRNGKey(10 + i)
+        y0 = 0.2 + i * 0.18
+        x, vol = sample_box(
+            key,
+            (0.35, y0, 0.35),
+            (0.65, y0 + 0.14, 0.65),
+            dx,
+            particles_per_cell=ppc,
+            dtype=dtype,
+        )
+        mu, lam = lame_parameters(E, 0.3)
+        states.append(
+            make_particle_state(
+                x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
+            )
+        )
+    state = concatenate_states(states)
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.12, 0.0), n=(0.0, 1.0, 0.0)),)
+    return dict(
+        cfg=cfg,
+        state=state,
+        model=MODEL_REGISTRY["fixed_corotated"],
+        colliders=colliders,
+        plasticity=None,
+    )
+
+
+def faceless_3d(res: int = 128, ppc: int = 8, E: float = 5e5, dtype=jnp.float32):
+    """Config 5 (BASELINE.json:11)-class scene: soft character drop.
+
+    The reference's "faceless" scene samples a character mesh (OBJ/VDB,
+    component #17). We ship no mesh assets, so the body is an analytic
+    union (head sphere + torso capsule-ish box + leg boxes) — same solver
+    character: large soft body, self-collision through the grid, floor
+    contact.
+    """
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, -9.81, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+
+    def phi(x):
+        head = jnp.linalg.norm(x - jnp.asarray([0.5, 0.62, 0.5], x.dtype), axis=-1) - 0.08
+        torso = _box_phi(x, (0.42, 0.38, 0.44), (0.58, 0.58, 0.56))
+        leg1 = _box_phi(x, (0.43, 0.22, 0.45), (0.49, 0.40, 0.55))
+        leg2 = _box_phi(x, (0.51, 0.22, 0.45), (0.57, 0.40, 0.55))
+        arm1 = _box_phi(x, (0.34, 0.46, 0.46), (0.44, 0.54, 0.54))
+        arm2 = _box_phi(x, (0.56, 0.46, 0.46), (0.66, 0.54, 0.54))
+        return jnp.minimum(
+            jnp.minimum(jnp.minimum(head, torso), jnp.minimum(leg1, leg2)),
+            jnp.minimum(arm1, arm2),
+        )
+
+    key = jax.random.PRNGKey(7)
+    x, vol = sample_level_set(
+        key, phi, (0.3, 0.2, 0.4), (0.7, 0.72, 0.6), dx, particles_per_cell=ppc, dtype=dtype
+    )
+    mu, lam = lame_parameters(E, 0.35)
+    state = make_particle_state(
+        x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
+    )
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.08, 0.0), n=(0.0, 1.0, 0.0)),)
+    return dict(
+        cfg=cfg,
+        state=state,
+        model=MODEL_REGISTRY["fixed_corotated"],
+        colliders=colliders,
+        plasticity=None,
+    )
+
+
+def _box_phi(x, lo, hi):
+    lo = jnp.asarray(lo, x.dtype)
+    hi = jnp.asarray(hi, x.dtype)
+    q = jnp.maximum(lo[None, :] - x, x - hi[None, :])
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+SCENES = {
+    "block_drop_2d": block_drop_2d,
+    "twisting_bar_3d": twisting_bar_3d,
+    "stacked_boxes_3d": stacked_boxes_3d,
+    "faceless_3d": faceless_3d,
+}
+
+
+def build_scene(name: str, **kwargs):
+    if name not in SCENES:
+        raise KeyError(f"unknown scene '{name}'; have {sorted(SCENES)}")
+    return SCENES[name](**kwargs)

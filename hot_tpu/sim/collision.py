@@ -1,0 +1,213 @@
+"""Analytic level sets and grid-node collision boundary conditions.
+
+Reference equivalents: Lib/Ziran/Math/Geometry/AnalyticLevelSet.h +
+CollisionObject.h (components #16/#18): signed-distance objects with
+sticky / slip / separate contact, including scripted rigid motion (the
+rotating clamps of the twisting-bar scene).
+
+TPU-native design: colliders are static Python dataclasses captured in the
+jitted step's closure; per grid node they produce a (d, d) projection
+matrix P_i and target velocity v_bc_i, evaluated vectorized over all nodes.
+The implicit solver applies P_i inside its `project` callback every CG
+iteration (reference mechanism: component #30) — so Dirichlet/contact
+constraints cost one small matvec per node, fused by XLA.
+
+Velocity convention at constrained nodes:
+    v_i = v_bc_i + P_i (v_i - v_bc_i)
+  * sticky:   P = 0          v = v_obj
+  * slip:     P = I - n n^T  normal component pinned to the object's
+  * separate: slip only while approaching (evaluated at pre-solve v)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+STICKY = "sticky"
+SLIP = "slip"
+SEPARATE = "separate"
+
+
+@dataclasses.dataclass(frozen=True)
+class Collider:
+    """Base: subclasses implement phi/normal; motion is an optional script.
+
+    `velocity(x, t)` returns the object's material velocity at point x —
+    for rigid scripts v = v_lin(t) + omega(t) x (x - center(t)).
+    """
+
+    kind: str = STICKY
+    # Scripted rigid motion: returns (linear_velocity, angular_velocity,
+    # center) at time t. None = static object.
+    motion: Optional[Callable] = None
+
+    def phi(self, x, t):  # (n, d) -> (n,)
+        raise NotImplementedError
+
+    def normal(self, x, t):  # (n, d) -> (n, d), outward (phi increasing)
+        raise NotImplementedError
+
+    def velocity(self, x, t):
+        if self.motion is None:
+            return jnp.zeros_like(x)
+        v_lin, omega, center = self.motion(t)
+        v_lin = jnp.asarray(v_lin, x.dtype)
+        rel = x - jnp.asarray(center, x.dtype)[None, :]
+        if x.shape[-1] == 2:
+            # omega is a scalar in 2D: v = omega x r = omega * perp(r)
+            w = jnp.asarray(omega, x.dtype)
+            rot = w * jnp.stack([-rel[:, 1], rel[:, 0]], axis=-1)
+        else:
+            w = jnp.asarray(omega, x.dtype)
+            rot = jnp.cross(jnp.broadcast_to(w, rel.shape), rel)
+        return v_lin[None, :] + rot
+
+
+@dataclasses.dataclass(frozen=True)
+class HalfSpace(Collider):
+    """phi(x) = n . (x - origin); inside (contact) where phi < 0."""
+
+    origin: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    n: Tuple[float, ...] = (0.0, 1.0, 0.0)
+
+    def phi(self, x, t):
+        n = _unit(jnp.asarray(self.n, x.dtype))
+        o = jnp.asarray(self.origin, x.dtype)
+        return (x - o[None, :]) @ n
+
+    def normal(self, x, t):
+        n = _unit(jnp.asarray(self.n, x.dtype))
+        return jnp.broadcast_to(n, x.shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere(Collider):
+    center: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    radius: float = 1.0
+    inverted: bool = False  # True: keep things INSIDE the sphere
+
+    def phi(self, x, t):
+        c = jnp.asarray(self.center, x.dtype)
+        d = jnp.linalg.norm(x - c[None, :], axis=-1) - self.radius
+        return -d if self.inverted else d
+
+    def normal(self, x, t):
+        c = jnp.asarray(self.center, x.dtype)
+        rel = x - c[None, :]
+        n = rel / jnp.maximum(jnp.linalg.norm(rel, axis=-1, keepdims=True), 1e-12)
+        return -n if self.inverted else n
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisBox(Collider):
+    """Axis-aligned box; contact inside the box (use for clamps/pads).
+
+    phi < 0 inside. Normal = gradient of box distance (axis of deepest
+    penetration inside).
+    """
+
+    lo: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    hi: Tuple[float, ...] = (1.0, 1.0, 1.0)
+
+    def phi(self, x, t):
+        lo = jnp.asarray(self.lo, x.dtype)
+        hi = jnp.asarray(self.hi, x.dtype)
+        q = jnp.maximum(lo[None, :] - x, x - hi[None, :])  # per-axis outside dist
+        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        inside = jnp.max(q, axis=-1)
+        return jnp.where(inside < 0, inside, outside)
+
+    def normal(self, x, t):
+        lo = jnp.asarray(self.lo, x.dtype)
+        hi = jnp.asarray(self.hi, x.dtype)
+        q = jnp.maximum(lo[None, :] - x, x - hi[None, :])
+        # axis of max q; sign: +1 if nearer hi face, -1 if nearer lo face
+        axis = jnp.argmax(q, axis=-1)
+        sign = jnp.where(
+            (x - lo[None, :])[jnp.arange(x.shape[0]), axis]
+            > (hi - lo)[axis] * 0.5,
+            1.0,
+            -1.0,
+        ).astype(x.dtype)
+        n = jnp.zeros_like(x).at[jnp.arange(x.shape[0]), axis].set(sign)
+        return n
+
+
+def _unit(v):
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+
+def grid_boundary_conditions(
+    node_pos,
+    t,
+    colliders: Sequence[Collider],
+    grid_v=None,
+    boundary_margin: int = 0,
+    res=None,
+    dx=None,
+):
+    """Evaluate all colliders at grid nodes -> (proj, v_bc, constrained).
+
+    Args:
+      node_pos: (n_nodes, d) node positions.
+      t: current time (traced scalar ok).
+      colliders: static tuple of Collider objects.
+      grid_v: optional (n_nodes, d) pre-solve velocities, needed for
+        `separate` contacts (project only while approaching).
+      boundary_margin: if > 0, also stick the outermost `margin` node
+        layers of the domain (the reference's domain-wall guard).
+
+    Returns:
+      proj: (n_nodes, d, d) projection matrices P_i.
+      v_bc: (n_nodes, d) target velocities.
+      constrained: (n_nodes,) bool mask of any constraint.
+    """
+    n, d = node_pos.shape
+    dtype = node_pos.dtype
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (n, d, d))
+    proj = eye
+    v_bc = jnp.zeros((n, d), dtype)
+    constrained = jnp.zeros((n,), bool)
+
+    for c in colliders:
+        inside = c.phi(node_pos, t) < 0.0
+        v_obj = c.velocity(node_pos, t)
+        if c.kind == STICKY:
+            P_c = jnp.zeros((n, d, d), dtype)
+        else:
+            nrm = c.normal(node_pos, t)
+            P_c = eye - nrm[:, :, None] * nrm[:, None, :]
+            if c.kind == SEPARATE:
+                if grid_v is None:
+                    raise ValueError("separate contact needs grid_v")
+                approaching = jnp.sum((grid_v - v_obj) * nrm, axis=-1) < 0.0
+                inside = jnp.logical_and(inside, approaching)
+        active = inside
+        # Sequential composition (reference applies objects in order):
+        proj = jnp.where(active[:, None, None], P_c @ proj, proj)
+        v_bc = jnp.where(active[:, None], v_obj + _apply(P_c, v_bc - v_obj), v_bc)
+        constrained = jnp.logical_or(constrained, active)
+
+    if boundary_margin > 0:
+        assert res is not None and dx is not None
+        lo = boundary_margin * dx
+        hi = (jnp.asarray(res, dtype) - 1 - boundary_margin) * dx
+        wall = jnp.any((node_pos < lo) | (node_pos > hi[None, :]), axis=-1)
+        proj = jnp.where(wall[:, None, None], jnp.zeros((n, d, d), dtype), proj)
+        v_bc = jnp.where(wall[:, None], jnp.zeros((n, d), dtype), v_bc)
+        constrained = jnp.logical_or(constrained, wall)
+
+    return proj, v_bc, constrained
+
+
+def _apply(P, v):
+    """Batched (n,d,d) @ (n,d)."""
+    return jnp.einsum("nij,nj->ni", P, v)
+
+
+def apply_bc_to_velocity(grid_v, proj, v_bc):
+    """v <- v_bc + P (v - v_bc)."""
+    return v_bc + _apply(proj, grid_v - v_bc)

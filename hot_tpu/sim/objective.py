@@ -1,0 +1,150 @@
+"""The backward-Euler incremental-potential objective on grid velocities.
+
+Reference equivalents: the implicit objective assembled across
+Lib/MPM/MpmSimulationBase + Lib/MPM/Force/FBasedMpmForceHelper
+(components #27/#28, SURVEY.md §2.2): E(v) = 1/2 |v - v*|_M^2 + Phi(x + dt v),
+exposing computeResidual / multiply / project / precondition to the Krylov
+layer, with the per-particle SPD-projected dP/dF cached per Newton iteration.
+
+TPU-native design: everything is a pure function of (grid velocity field v,
+cached per-particle state); the Hessian application is the G2P -> per-
+particle contraction -> P2G composition of the same transfer stencils —
+matrix-free, exactly one gather + one scatter per CG iteration, which is
+the HBM-bandwidth roofline shape for this operator (SURVEY.md §6).
+
+Unknown layout: v is (n_nodes, dim) over the flattened dense logical grid;
+inactive nodes (zero mass) are masked to the identity operator so they sit
+inert in CG.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.models import constitutive as cm
+from hot_tpu.ops import transfer
+
+
+class ObjectiveContext(NamedTuple):
+    """Everything fixed during one implicit solve (one time step)."""
+
+    stencil: transfer.Stencil
+    F_n: jax.Array           # (n, d, d) deformation gradients at step start
+    V0: jax.Array            # (n,)
+    mu: jax.Array            # (n,)
+    lam: jax.Array           # (n,)
+    grid_m: jax.Array        # (n_nodes,)
+    v_star: jax.Array        # (n_nodes, d) — predictor velocity (incl. gravity)
+    active: jax.Array        # (n_nodes,) bool — nodes with mass
+    proj: jax.Array          # (n_nodes, d, d) BC projection matrices
+    dt: jax.Array            # scalar
+    cn_scale: jax.Array      # (n_nodes,) characteristic force*dt per node
+
+
+class HessianState(NamedTuple):
+    """Per-particle linearization cache, rebuilt each Newton iteration."""
+
+    ctx: cm.HessianContext   # batched over particles
+    F_new: jax.Array         # (n, d, d) at the linearization point
+
+
+def make_objective(model, stencil, F_n, V0, mu, lam, grid_m, v_star, proj, dt,
+                   dx, project_hessian: bool = True):
+    """Build the ObjectiveContext (reference: backwardEulerStep setup)."""
+    active = grid_m > 0
+    n_nodes = grid_m.shape[0]
+    # Characteristic-norm scale (SURVEY.md component #37). HOT
+    # nondimensionalizes the Newton residual by a per-node characteristic
+    # impulse so one epsilon works across materials/resolutions/dt
+    # (paper Sec. "characteristic norm"; re-derived here, not copied):
+    #   force scale  f_i = sum_p w_ip V0_p (2 mu_p + lam_p) / dx
+    #   impulse scale s_i = max(dt * f_i, m_i * dx / dt)
+    # the second term keeps free-fall nodes (no stiffness) sensibly scaled.
+    stiff = V0 * (2.0 * mu + lam) / dx
+    f_char = transfer.scatter_sum(stencil.node_ids, stencil.wn * stiff[:, None], n_nodes)
+    cn_scale = jnp.maximum(dt * f_char, grid_m * dx / dt)
+    cn_scale = jnp.where(active, cn_scale, 1.0)
+    return ObjectiveContext(
+        stencil=stencil, F_n=F_n, V0=V0, mu=mu, lam=lam, grid_m=grid_m,
+        v_star=v_star, active=active, proj=proj, dt=dt, cn_scale=cn_scale,
+    )
+
+
+def updated_F(obj: ObjectiveContext, v):
+    """F_p(v) = (I + dt grad_v_p) F_n_p."""
+    grad_v = transfer.velocity_gradient(obj.stencil, v)
+    d = grad_v.shape[-1]
+    eye = jnp.eye(d, dtype=v.dtype)
+    return (eye[None] + obj.dt * grad_v) @ obj.F_n
+
+
+def residual(model, obj: ObjectiveContext, v):
+    """r(v) = M (v - v*) - dt f(v); zero at inactive nodes, BC-projected.
+
+    Units: momentum. This is the gradient of the incremental potential.
+    """
+    F_new = updated_F(obj, v)
+    P = jax.vmap(lambda f, m_, l_: cm.first_piola(model, f, m_, l_))(
+        F_new, obj.mu, obj.lam
+    )
+    PFt = P @ jnp.swapaxes(obj.F_n, -1, -2)
+    f = transfer.scatter_force(obj.stencil, PFt, obj.V0, obj.grid_m.shape[0])
+    r = obj.grid_m[:, None] * (v - obj.v_star) - obj.dt * f
+    return project(obj, r)
+
+
+def energy(model, obj: ObjectiveContext, v):
+    """E(v) — used by optional line search and tests."""
+    F_new = updated_F(obj, v)
+    psi = jax.vmap(lambda f, m_, l_: cm.psi_from_F(model, f, m_, l_))(
+        F_new, obj.mu, obj.lam
+    )
+    dv = v - obj.v_star
+    inertia = 0.5 * jnp.sum(obj.grid_m[:, None] * dv * dv)
+    return inertia + jnp.sum(obj.V0 * psi)
+
+
+def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True) -> HessianState:
+    """Linearize at v: per-particle SPD-projected diagonal-space Hessians."""
+    F_new = updated_F(obj, v)
+    ctx = jax.vmap(
+        lambda f, m_, l_: cm.hessian_context(model, f, m_, l_, project=project_spd)
+    )(F_new, obj.mu, obj.lam)
+    return HessianState(ctx=ctx, F_new=F_new)
+
+
+def multiply(obj: ObjectiveContext, hess: HessianState, w):
+    """H w = M w + dt^2 * P2G( dPdF : G2P(w) ) — matrix-free Hessian apply.
+
+    Identity on inactive nodes so CG ignores them. (Reference: the
+    addScaledStressDifferentials path of component #27.)
+    """
+    grad_w = transfer.velocity_gradient(obj.stencil, w)          # G2P gather
+    dF = obj.dt * (grad_w @ obj.F_n)
+    dP = jax.vmap(cm.apply_hessian)(hess.ctx, dF)
+    dPFt = dP @ jnp.swapaxes(obj.F_n, -1, -2)
+    df = transfer.scatter_force(obj.stencil, dPFt, obj.V0, obj.grid_m.shape[0])
+    out = obj.grid_m[:, None] * w - obj.dt * df                   # -dt * (-dt ...) = +dt^2
+    return jnp.where(obj.active[:, None], out, w)
+
+
+def project(obj: ObjectiveContext, r):
+    """BC projection + inactive-node mask (reference: component #30)."""
+    r = jnp.einsum("nij,nj->ni", obj.proj, r)
+    return jnp.where(obj.active[:, None], r, 0.0)
+
+
+def mass_precondition(obj: ObjectiveContext, r):
+    """Inverse-mass (Jacobi on the inertia term) preconditioner."""
+    inv_m = jnp.where(obj.active, 1.0 / jnp.maximum(obj.grid_m, 1e-30), 1.0)
+    return r * inv_m[:, None]
+
+
+def cn_norm(obj: ObjectiveContext, r):
+    """Characteristic norm: RMS of the nondimensionalized residual."""
+    scaled = r / obj.cn_scale[:, None]
+    n_active = jnp.maximum(jnp.sum(obj.active), 1)
+    return jnp.sqrt(jnp.sum(scaled * scaled) / n_active.astype(r.dtype))

@@ -1,0 +1,250 @@
+"""The MPM time step and frame loop.
+
+Reference equivalents: Lib/MPM/MpmSimulationBase::advanceOneTimeStep
+(component #24; call stack SURVEY.md §3.2) + Lib/Ziran/Sim/SimulationBase
+frame loop (component #22). One full implicit step — P2G, grid BC, inexact
+Newton with CN termination, G2P, plasticity, advection — is a single
+jit-compiled function; the host loop only chooses dt (CFL) and does IO.
+
+TPU-native notes:
+  * dense logical grid, flattened (n_nodes, ...) arrays; sparse tiling
+    layers under the same interface later (SURVEY.md §7 stage 2).
+  * dt is a traced scalar — CFL-rate dt changes do NOT recompile.
+  * all particle loops are vmaps; all grid loops are array ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.models import constitutive as cm
+from hot_tpu.models import plasticity as plast
+from hot_tpu.ops import transfer
+from hot_tpu.sim import collision
+from hot_tpu.sim import objective as obj_mod
+from hot_tpu.sim.state import ParticleState
+from hot_tpu.solver.newton import NewtonResult, newton_solve
+from hot_tpu.utils.config import SimConfig
+from hot_tpu.utils.metrics import MetricsLogger
+from hot_tpu.utils.timing import PhaseTimer
+
+
+class StepStats(NamedTuple):
+    newton_iters: jax.Array
+    cg_iters: jax.Array
+    cn_residual: jax.Array
+    cn_residual0: jax.Array
+    converged: jax.Array
+    max_velocity: jax.Array
+    kinetic_energy: jax.Array
+    potential_energy: jax.Array
+    active_nodes: jax.Array
+
+
+def advance_one_step(
+    state: ParticleState,
+    dt,
+    t,
+    *,
+    cfg: SimConfig,
+    model,
+    colliders: Sequence[collision.Collider],
+    plasticity: Optional[str] = None,
+) -> Tuple[ParticleState, StepStats]:
+    """One implicit backward-Euler MPM step (pure function; jit over it).
+
+    Mirrors SURVEY.md §3.2's stack: sort/activate is implicit in the dense
+    grid; P2G -> grid BC -> Newton (CN) -> G2P -> plasticity -> advect.
+    """
+    dim = cfg.dim
+    res = cfg.grid_res[:dim]
+    dx = cfg.dx
+    n_nodes = transfer.n_nodes_of(res)
+    dtype = state.x.dtype
+    gravity = jnp.asarray(cfg.gravity[:dim], dtype)
+
+    # ---- P2G --------------------------------------------------------------
+    st = transfer.particle_stencil(state.x, dx, res)
+    grid_m, grid_mv = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+    active = grid_m > 0
+    inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
+    v_grid = grid_mv * inv_m[:, None]
+
+    # ---- grid BC ----------------------------------------------------------
+    node_pos = transfer.node_positions(res, dx, dtype)
+    v_star = v_grid + dt * gravity[None, :]
+    proj, v_bc, _ = collision.grid_boundary_conditions(
+        node_pos, t, colliders, grid_v=v_star, boundary_margin=2, res=res, dx=dx
+    )
+    # initial iterate satisfies the constraints
+    v0 = collision.apply_bc_to_velocity(v_star, proj, v_bc)
+
+    # ---- implicit solve ---------------------------------------------------
+    sol = cfg.solver
+    objective = obj_mod.make_objective(
+        model, st, state.F, state.V0, state.mu, state.lam,
+        grid_m, v_star, proj, dt, dx,
+    )
+
+    if sol.preconditioner == "none":
+        precond = lambda hess, r: r
+    else:  # mass Jacobi (stage-1 default); multigrid hooks in via solver pkg
+        precond = lambda hess, r: obj_mod.mass_precondition(objective, r)
+
+    result: NewtonResult = newton_solve(
+        residual=lambda v: obj_mod.residual(model, objective, v),
+        build_hessian=lambda v: obj_mod.build_hessian(
+            model, objective, v, project_spd=sol.project_hessian
+        ),
+        multiply=lambda hess, w: obj_mod.multiply(objective, hess, w),
+        project=lambda r: obj_mod.project(objective, r),
+        precondition=precond,
+        cn_norm=lambda r: obj_mod.cn_norm(objective, r),
+        v0=v0,
+        max_newton=sol.max_newton,
+        cn_eps=sol.cn_eps if sol.use_cn else 0.0,
+        abs_tol=sol.abs_tol,
+        cg_tol=sol.cg_tol,
+        max_cg=sol.max_cg,
+        adaptive_forcing=sol.adaptive_forcing,
+        linear_solver=sol.linear_solver,
+    )
+    v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
+
+    # ---- G2P + state update ----------------------------------------------
+    v_pic, grad_v, C_new = transfer.g2p(st, v_new, dx)
+    if cfg.transfer == "flip":
+        v_old_interp, _, _ = transfer.g2p(st, v_grid, dx)
+        v_p = (1.0 - cfg.flip_ratio) * v_pic + cfg.flip_ratio * (
+            state.v + (v_pic - v_old_interp)
+        )
+        C_next = jnp.zeros_like(state.C)
+    else:  # APIC
+        v_p = v_pic
+        C_next = C_new
+
+    eye = jnp.eye(dim, dtype=dtype)
+    F_new = (eye[None] + dt * grad_v) @ state.F
+
+    Jp_new = state.Jp
+    if plasticity == "von_mises":
+        F_new = jax.vmap(plast.VonMisesHencky.project)(
+            F_new, state.mu, state.lam, state.yield_stress
+        )
+    elif plasticity == "snow":
+        F_new, jp_ratio = jax.vmap(plast.SnowPlasticity.project)(F_new)
+        Jp_new = state.Jp * jp_ratio
+    elif plasticity == "drucker_prager":
+        alpha = plast.DruckerPrager.alpha_from_friction_angle(30.0)
+        F_new = jax.vmap(lambda f, m_, l_: plast.DruckerPrager.project(f, m_, l_, alpha))(
+            F_new, state.mu, state.lam
+        )
+
+    x_new = state.x + dt * v_pic
+    # keep particles inside the valid domain (one stencil-cell margin)
+    lo = 2.0 * dx
+    hi = (jnp.asarray(res, dtype) - 3.0) * dx
+    x_new = jnp.clip(x_new, lo, hi[None, :])
+
+    new_state = state.replace(x=x_new, v=v_p, C=C_next, F=F_new, Jp=Jp_new)
+
+    # ---- diagnostics ------------------------------------------------------
+    psi = jax.vmap(lambda f, m_, l_: cm.psi_from_F(model, f, m_, l_))(
+        F_new, state.mu, state.lam
+    )
+    stats = StepStats(
+        newton_iters=result.iters,
+        cg_iters=result.cg_iters,
+        cn_residual=result.cn_residual,
+        cn_residual0=result.cn_residual0,
+        converged=result.converged,
+        max_velocity=jnp.max(jnp.linalg.norm(v_p, axis=-1)),
+        kinetic_energy=0.5 * jnp.sum(state.m * jnp.sum(v_p * v_p, axis=-1)),
+        potential_energy=jnp.sum(state.V0 * psi),
+        active_nodes=jnp.sum(active),
+    )
+    return new_state, stats
+
+
+class Simulation:
+    """Frame loop driver (reference: SimulationBase::simulate, component #22).
+
+    Owns the jitted step, CFL dt control, metrics, and frame IO hooks.
+    """
+
+    def __init__(
+        self,
+        cfg: SimConfig,
+        state: ParticleState,
+        model,
+        colliders: Sequence[collision.Collider] = (),
+        plasticity: Optional[str] = None,
+        metrics: Optional[MetricsLogger] = None,
+    ):
+        self.cfg = cfg
+        self.state = state
+        self.model = model
+        self.colliders = tuple(colliders)
+        self.plasticity = plasticity
+        self.metrics = metrics or MetricsLogger()
+        self.timer = PhaseTimer()
+        self.t = 0.0
+        self.step_count = 0
+        self._step = jax.jit(
+            functools.partial(
+                advance_one_step,
+                cfg=cfg,
+                model=model,
+                colliders=self.colliders,
+                plasticity=plasticity,
+            )
+        )
+
+    def compute_dt(self) -> float:
+        """CFL-rate dt (reference: calculateDt): particles move <= cfl cells."""
+        vmax = float(jnp.max(jnp.linalg.norm(self.state.v, axis=-1)))
+        # gravity-inflated bound, as the reference does for free fall
+        g = float(jnp.linalg.norm(jnp.asarray(self.cfg.gravity[: self.cfg.dim])))
+        vmax = vmax + g * self.cfg.max_dt
+        dt_cfl = self.cfg.cfl * self.cfg.dx / max(vmax, 1e-6)
+        return float(min(self.cfg.max_dt, max(self.cfg.min_dt, dt_cfl)))
+
+    def step(self, dt: Optional[float] = None) -> StepStats:
+        dt = self.compute_dt() if dt is None else dt
+        with self.timer.scope("advance_one_step"):
+            self.state, stats = self._step(self.state, dt, self.t)
+            jax.block_until_ready(self.state.x)
+        self.t += dt
+        self.step_count += 1
+        self.metrics.log(
+            step=self.step_count,
+            t=self.t,
+            dt=dt,
+            newton_iters=stats.newton_iters,
+            cg_iters=stats.cg_iters,
+            cn_residual=stats.cn_residual,
+            converged=stats.converged,
+            max_velocity=stats.max_velocity,
+            kinetic_energy=stats.kinetic_energy,
+            potential_energy=stats.potential_energy,
+            active_nodes=stats.active_nodes,
+        )
+        return stats
+
+    def advance_frame(self, frame_callback: Optional[Callable] = None):
+        """Advance one output frame of duration cfg.frame_dt."""
+        t_end = self.t + self.cfg.frame_dt
+        while self.t < t_end - 1e-12:
+            dt = min(self.compute_dt(), t_end - self.t)
+            self.step(dt)
+        if frame_callback is not None:
+            frame_callback(self)
+
+    def run(self, frames: int, frame_callback: Optional[Callable] = None):
+        for _ in range(frames):
+            self.advance_frame(frame_callback)

@@ -1,0 +1,102 @@
+"""Particle state pytree — the SoA attribute store of the rebuild.
+
+Reference equivalents: Lib/Ziran/CS/DataStructure/DataManager.h +
+Math/Geometry/Particles.h (components #7/#15): named per-particle attribute
+arrays. In JAX the natural form is a registered-dataclass pytree of arrays;
+"adding an attribute" is adding a field (or an entry in `extra`). Subsets
+(the reference's DisjointRanges per material) become per-particle parameter
+arrays (mu/lam/yield) so multi-material scenes stay one fused vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ParticleState:
+    """All per-particle arrays. Shapes: n particles, d spatial dims."""
+
+    x: jax.Array            # (n, d) positions
+    v: jax.Array            # (n, d) velocities
+    C: jax.Array            # (n, d, d) APIC affine velocity field
+    F: jax.Array            # (n, d, d) elastic deformation gradient
+    m: jax.Array            # (n,) mass
+    V0: jax.Array           # (n,) initial volume
+    mu: jax.Array           # (n,) Lame mu
+    lam: jax.Array          # (n,) Lame lambda
+    # Plasticity parameters (semantics depend on the scene's plasticity
+    # setting; inf/unused entries are fine — the return map is branch-free).
+    yield_stress: jax.Array  # (n,)
+    Jp: jax.Array            # (n,) plastic volume ratio (snow hardening)
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.x.shape[1]
+
+    def replace(self, **kw) -> "ParticleState":
+        return dataclasses.replace(self, **kw)
+
+
+def make_particle_state(
+    x,
+    *,
+    velocity=None,
+    density: float = 1000.0,
+    particle_volume: Optional[float] = None,
+    mu=None,
+    lam=None,
+    E: float = 1e5,
+    nu: float = 0.3,
+    yield_stress: float = jnp.inf,
+    dtype=jnp.float32,
+) -> ParticleState:
+    """Build a rest-state particle set from positions.
+
+    Reference: MpmParticleHandleBase::sampleInAnalyticLevelSet +
+    addFBasedMpmForce (component #29) — there, sampling assigns
+    mass/volume from density and per-cell particle count; here the caller
+    provides positions (see hot_tpu.sim.seeding) and a shared volume.
+    """
+    x = jnp.asarray(x, dtype)
+    n, d = x.shape
+    if particle_volume is None:
+        raise ValueError("particle_volume is required (V0 per particle)")
+    if mu is None or lam is None:
+        from hot_tpu.models.constitutive import lame_parameters
+
+        mu_s, lam_s = lame_parameters(E, nu)
+        mu = jnp.full((n,), mu_s, dtype)
+        lam = jnp.full((n,), lam_s, dtype)
+    else:
+        mu = jnp.broadcast_to(jnp.asarray(mu, dtype), (n,))
+        lam = jnp.broadcast_to(jnp.asarray(lam, dtype), (n,))
+    v = jnp.zeros((n, d), dtype) if velocity is None else jnp.broadcast_to(
+        jnp.asarray(velocity, dtype), (n, d)
+    )
+    return ParticleState(
+        x=x,
+        v=v,
+        C=jnp.zeros((n, d, d), dtype),
+        F=jnp.broadcast_to(jnp.eye(d, dtype=dtype), (n, d, d)),
+        m=jnp.full((n,), density * particle_volume, dtype),
+        V0=jnp.full((n,), particle_volume, dtype),
+        mu=mu,
+        lam=lam,
+        yield_stress=jnp.full((n,), yield_stress, dtype),
+        Jp=jnp.ones((n,), dtype),
+    )
+
+
+def concatenate_states(states) -> ParticleState:
+    """Concatenate particle sets (multi-object scenes)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *states)

@@ -1,0 +1,104 @@
+"""Inexact projected Newton with characteristic-norm termination.
+
+Reference equivalents: Lib/Ziran/Math/Nonlinear/NewtonsMethod.h driven by
+the HOT project's characteristic-norm control (components #12/#37,
+SURVEY.md §3.3): iterate
+    r_k = grad E(v_k);  stop when |r_k|_CN < eps
+    solve H_k dv = -r_k by preconditioned CG to forcing tolerance eta_k
+    v_{k+1} = v_k + dv
+The forcing sequence ties CG accuracy to Newton progress
+(Eisenstat-Walker-style, like HOT's inexact inner solves):
+    eta_k = clip(sqrt(cn_k / cn_0), cg_tol_floor, 0.5)   if adaptive
+
+The whole loop is one `lax.while_loop` (on-device); the linearization
+closures are rebuilt inside the loop body — under jit this is one traced
+program, not per-iteration recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.solver.cg import cg_solve, minres_solve
+
+
+class NewtonResult(NamedTuple):
+    v: jax.Array
+    iters: jax.Array            # Newton iterations executed
+    cg_iters: jax.Array         # total CG iterations across the solve
+    cn_residual: jax.Array      # final characteristic-norm residual
+    cn_residual0: jax.Array
+    converged: jax.Array
+    cn_history: jax.Array       # (max_newton + 1,) CN residual trace (padded
+                                # with the final value after convergence)
+
+
+def newton_solve(
+    *,
+    residual: Callable,          # v -> r (projected)
+    build_hessian: Callable,     # v -> hessian state
+    multiply: Callable,          # (hess, w) -> H w
+    project: Callable,           # r -> projected r
+    precondition: Callable,      # (hess, r) -> z  (hess-dependent, e.g. MG)
+    cn_norm: Callable,           # r -> scalar characteristic norm
+    v0,
+    max_newton: int = 10,
+    cn_eps: float = 1e-2,
+    abs_tol: float = 0.0,
+    cg_tol: float = 1e-3,
+    max_cg: int = 200,
+    adaptive_forcing: bool = True,
+    linear_solver: str = "cg",
+) -> NewtonResult:
+    """Run the inexact Newton loop. All arguments with shapes are traced."""
+    solve = cg_solve if linear_solver == "cg" else minres_solve
+
+    r0 = residual(v0)
+    cn0 = cn_norm(r0)
+
+    def cond(carry):
+        v, r, cn, k, cg_total, hist = carry
+        not_conv = jnp.logical_and(cn > cn_eps, jnp.sqrt(jnp.sum(r * r)) > abs_tol)
+        return jnp.logical_and(k < max_newton, not_conv)
+
+    def body(carry):
+        v, r, cn, k, cg_total, hist = carry
+        hess = build_hessian(v)
+        if adaptive_forcing:
+            ratio = cn / jnp.maximum(cn0, 1e-30)
+            eta = jnp.clip(jnp.sqrt(ratio), cg_tol, 0.5)
+        else:
+            eta = jnp.asarray(cg_tol, r.dtype)
+        res = solve(
+            lambda w: multiply(hess, w),
+            -r,
+            precondition=lambda z: precondition(hess, z),
+            project=project,
+            tol=eta,
+            max_iters=max_cg,
+        )
+        v_new = v + res.x
+        r_new = residual(v_new)
+        cn_new = cn_norm(r_new)
+        hist = hist.at[k + 1].set(cn_new)
+        return (v_new, r_new, cn_new, k + 1, cg_total + res.iters, hist)
+
+    hist0 = jnp.full((max_newton + 1,), cn0, dtype=r0.dtype)
+    v, r, cn, k, cg_total, hist = jax.lax.while_loop(
+        cond, body, (v0, r0, cn0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), hist0)
+    )
+    # pad the unreached history slots with the final CN value
+    idx = jnp.arange(hist.shape[0])
+    hist = jnp.where(idx <= k, hist, cn)
+    return NewtonResult(
+        v=v,
+        iters=k,
+        cg_iters=cg_total,
+        cn_residual=cn,
+        cn_residual0=cn0,
+        converged=cn <= cn_eps,
+        cn_history=hist,
+    )

@@ -1,0 +1,114 @@
+"""Frozen configuration tree for scenes, solver, multigrid, and device mesh.
+
+Reference equivalent: the command-line flag groups of the HOT project binary
+(components #5/#32, SURVEY.md §5.6): dimension/precision, dt & CFL, Newton
+CN epsilon, linear-solver choice, preconditioner, MG knobs, matrix-free
+toggle. Every reference knob exists here; the CLI (hot_tpu.cli) overrides
+fields and dumps the whole tree into the run directory.
+
+These are hashable frozen dataclasses so they can be passed as static
+arguments to jit-compiled step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class MultigridConfig:
+    """Node-embedding multigrid knobs (reference flags -mg_level, --mg_times,
+    --smoother, --coarseSolver; components #35/#36)."""
+
+    levels: int = 3                 # number of levels incl. finest
+    cycles: int = 1                 # V-cycles per preconditioner application
+    pre_smooth: int = 2             # nu_1
+    post_smooth: int = 2            # nu_2
+    smoother: str = "chebyshev"     # chebyshev | jacobi | scaled_jacobi
+    chebyshev_order: int = 2        # polynomial degree per smooth call
+    jacobi_omega: float = 2.0 / 3.0
+    coarse_solver: str = "smoother"  # smoother | cg (agglomerated coarse solve)
+    coarse_iters: int = 20
+    # Fraction of the spectrum the Chebyshev smoother targets: [lmax*lo, lmax*hi]
+    chebyshev_lo: float = 0.1
+    chebyshev_hi: float = 1.05
+    power_iters: int = 8            # power-iteration steps for lambda_max
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Newton + Krylov knobs (reference flags --usecn --cneps --lsolver
+    --Ainv --matfree; components #37/#38/#10)."""
+
+    max_newton: int = 10
+    use_cn: bool = True             # characteristic-norm termination
+    cn_eps: float = 1e-2            # --cneps
+    abs_tol: float = 1e-9           # fallback absolute residual tolerance
+    linear_solver: str = "cg"       # cg | minres
+    preconditioner: str = "jacobi"  # none | jacobi | multigrid
+    max_cg: int = 200
+    cg_tol: float = 1e-3            # relative tolerance (inexact Newton floor)
+    # Eisenstat-Walker-style forcing: eta_k = min(cg_tol, sqrt(|r_k|/|r_0|))
+    adaptive_forcing: bool = True
+    matrix_free: bool = True        # finest-level Hessian: matrix-free vs BSR
+    line_search: bool = False       # optional backtracking (off, like HOT at CFL dt)
+    project_hessian: bool = True    # SPD projection of per-particle dP/dF
+    multigrid: MultigridConfig = field(default_factory=MultigridConfig)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh partitioning of the grid (no reference equivalent —
+    HOT is shared-memory; SURVEY.md §2.5/§5.8)."""
+
+    axes: Tuple[str, ...] = ("x",)
+    shape: Tuple[int, ...] = (1,)   # devices per mesh axis
+    # Which spatial grid dimensions are partitioned (by axis order).
+    partition_dims: Tuple[int, ...] = (0,)
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Scene-independent simulation parameters (reference: MpmSimulationBase
+    settings + SimulationBase frame loop, components #22/#24)."""
+
+    dim: int = 3
+    dx: float = 1.0 / 64.0
+    gravity: Tuple[float, ...] = (0.0, -9.81, 0.0)
+    cfl: float = 0.6                # max particle travel in cells per step
+    frame_dt: float = 1.0 / 24.0
+    max_dt: float = 1e-2
+    min_dt: float = 1e-7
+    dtype: str = "float32"          # float32 | float64 (CPU validation)
+    flip_ratio: float = 0.95        # FLIP/APIC blend (1.0 = pure FLIP); APIC uses C
+    transfer: str = "apic"          # apic | flip
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Grid extent in nodes per dimension (dense logical domain; sparse tiles
+    # activate within it).
+    grid_res: Tuple[int, ...] = (64, 64, 64)
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def config_from_overrides(base: SimConfig, overrides: dict) -> SimConfig:
+    """Apply dotted-path overrides, e.g. {"solver.cn_eps": 1e-4}."""
+    cfg = base
+    for key, value in overrides.items():
+        parts = key.split(".")
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(obj, parts, value):
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    child = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _replace_path(child, parts[1:], value)})
