@@ -116,19 +116,63 @@ def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True) -> 
     return HessianState(ctx=ctx, F_new=F_new)
 
 
-def multiply(obj: ObjectiveContext, hess: HessianState, w):
-    """H w = M w + dt^2 * P2G( dPdF : G2P(w) ) — matrix-free Hessian apply.
+def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w):
+    """Generic matrix-free (M + dt^2 K) w through an arbitrary stencil.
 
-    Identity on inactive nodes so CG ignores them. (Reference: the
-    addScaledStressDifferentials path of component #27.)
+    Shared by the finest-level objective and every multigrid level (the
+    node-embedding coarse operators use the same per-particle dPdF context
+    with stencils at coarser spacing — HOT's quadrature coarsening,
+    component #35). Identity on inactive nodes so CG/smoothers ignore them.
     """
-    grad_w = transfer.velocity_gradient(obj.stencil, w)          # G2P gather
-    dF = obj.dt * (grad_w @ obj.F_n)
-    dP = jax.vmap(cm.apply_hessian)(hess.ctx, dF)
-    dPFt = dP @ jnp.swapaxes(obj.F_n, -1, -2)
-    df = transfer.scatter_force(obj.stencil, dPFt, obj.V0, obj.grid_m.shape[0])
-    out = obj.grid_m[:, None] * w - obj.dt * df                   # -dt * (-dt ...) = +dt^2
-    return jnp.where(obj.active[:, None], out, w)
+    grad_w = transfer.velocity_gradient(stencil, w)               # G2P gather
+    dF = dt * (grad_w @ F_n)
+    dP = jax.vmap(cm.apply_hessian)(ctx, dF)
+    dPFt = dP @ jnp.swapaxes(F_n, -1, -2)
+    df = transfer.scatter_force(stencil, dPFt, V0, grid_m.shape[0])
+    out = grid_m[:, None] * w - dt * df                           # -dt * (-dt ...) = +dt^2
+    return jnp.where(active[:, None], out, w)
+
+
+def multiply(obj: ObjectiveContext, hess: HessianState, w):
+    """H w at the finest level (reference: component #27's
+    addScaledStressDifferentials path)."""
+    return elastic_hessian_apply(
+        obj.stencil, obj.F_n, hess.ctx, obj.V0, obj.dt, obj.grid_m, obj.active, w
+    )
+
+
+def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int):
+    """Per-node (d, d) diagonal blocks of M + dt^2 K — the block-Jacobi
+    preconditioner/smoother basis (reference: HOT's --Ainv block-diagonal
+    option, component #38).
+
+    Node i's block gets, from each particle p with stencil node k -> i:
+      B[a, b] = dt^2 V0 (dPdF : (e_a o g_k)) : (e_b o g_k),  g_k = F^T gw_k.
+    """
+    n, s = stencil.wn.shape
+
+    def per_particle(gwn_p, F_p, ctx_p, V0_p):
+        g = gwn_p @ F_p                                  # (s, d): rows g_k = F^T gw_k
+        eye = jnp.eye(dim, dtype=F_p.dtype)
+
+        def block_for_node(gk):
+            # columns a: dF_a = dt * e_a g_k^T; B[:, a] = dt * dP(dF_a) g_k
+            def col(a):
+                dF = dt * jnp.outer(eye[a], gk)
+                dP = cm.apply_hessian(ctx_p, dF)
+                return dt * (dP @ gk)
+
+            return V0_p * jnp.stack([col(a) for a in range(dim)], axis=1)
+
+        return jax.vmap(block_for_node)(g)               # (s, d, d)
+
+    blocks = jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)    # (n, s, d, d)
+    K_diag = transfer.scatter_sum(
+        stencil.node_ids, blocks.reshape(n, s, dim * dim), grid_m.shape[0]
+    ).reshape(-1, dim, dim)
+    eye = jnp.eye(dim, dtype=K_diag.dtype)
+    D = grid_m[:, None, None] * eye[None] + K_diag
+    return jnp.where(active[:, None, None], D, eye[None])
 
 
 def project(obj: ObjectiveContext, r):

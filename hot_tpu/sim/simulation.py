@@ -92,9 +92,42 @@ def advance_one_step(
     )
 
     if sol.preconditioner == "none":
-        precond = lambda hess, r: r
-    else:  # mass Jacobi (stage-1 default); multigrid hooks in via solver pkg
-        precond = lambda hess, r: obj_mod.mass_precondition(objective, r)
+        build_precond = lambda hess: None
+        precond = lambda pstate, r: r
+    elif sol.preconditioner == "jacobi":
+        # mass Jacobi (HOT's plain-PCG baseline class, component #38)
+        build_precond = lambda hess: None
+        precond = lambda pstate, r: obj_mod.mass_precondition(objective, r)
+    elif sol.preconditioner == "block_jacobi":
+        # block-diagonal of M + dt^2 K (HOT's --Ainv option)
+        def build_precond(hess):
+            D = obj_mod.elastic_block_diag(
+                st, state.F, hess.ctx, state.V0, dt, grid_m, active, dim
+            )
+            return jnp.linalg.inv(D)
+
+        precond = lambda Dinv, r: jnp.einsum("nij,nj->ni", Dinv, r)
+    elif sol.preconditioner == "multigrid":
+        from hot_tpu.solver import multigrid as mg_mod
+
+        _, _, constrained = collision.grid_boundary_conditions(
+            node_pos, t, colliders, grid_v=v_star, boundary_margin=2, res=res, dx=dx
+        )
+        mg_static = mg_mod.build_static(
+            state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype
+        )
+
+        def build_precond(hess):
+            return mg_mod.build_precond(
+                mg_static, state.F, hess.ctx, state.V0, dt, sol.multigrid, dim
+            )
+
+        def precond(pstate, r):
+            return mg_mod.mg_precondition(
+                mg_static, pstate, state.F, state.V0, dt, sol.multigrid, r
+            )
+    else:
+        raise ValueError(f"unknown preconditioner '{sol.preconditioner}'")
 
     result: NewtonResult = newton_solve(
         residual=lambda v: obj_mod.residual(model, objective, v),
@@ -104,6 +137,7 @@ def advance_one_step(
         multiply=lambda hess, w: obj_mod.multiply(objective, hess, w),
         project=lambda r: obj_mod.project(objective, r),
         precondition=precond,
+        build_preconditioner=build_precond,
         cn_norm=lambda r: obj_mod.cn_norm(objective, r),
         v0=v0,
         max_newton=sol.max_newton,

@@ -100,3 +100,37 @@ def make_particle_state(
 def concatenate_states(states) -> ParticleState:
     """Concatenate particle sets (multi-object scenes)."""
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
+
+
+def pad_particles(state: ParticleState, multiple: int, pad_pos=None) -> ParticleState:
+    """Pad the particle axis up to a multiple (sharding divisibility / TPU
+    lane alignment). Padding particles have zero mass and zero volume, so
+    they contribute nothing to any transfer, force, or energy; positions
+    default to the first particle's (guaranteed in-domain)."""
+    n = state.n
+    target = ((n + multiple - 1) // multiple) * multiple
+    extra = target - n
+    if extra == 0:
+        return state
+    if pad_pos is None:
+        pad_pos = state.x[0]
+
+    def pad(a, fill):
+        pad_block = jnp.broadcast_to(
+            jnp.asarray(fill, a.dtype), (extra,) + a.shape[1:]
+        )
+        return jnp.concatenate([a, pad_block], axis=0)
+
+    d = state.dim
+    return ParticleState(
+        x=pad(state.x, pad_pos),
+        v=pad(state.v, jnp.zeros((d,), state.v.dtype)),
+        C=pad(state.C, jnp.zeros((d, d), state.C.dtype)),
+        F=pad(state.F, jnp.eye(d, dtype=state.F.dtype)),
+        m=pad(state.m, 0.0),
+        V0=pad(state.V0, 0.0),
+        mu=pad(state.mu, 0.0),
+        lam=pad(state.lam, 0.0),
+        yield_stress=pad(state.yield_stress, jnp.inf),
+        Jp=pad(state.Jp, 1.0),
+    )

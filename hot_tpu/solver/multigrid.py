@@ -1,0 +1,270 @@
+"""HOT's node-embedding geometric multigrid, TPU-native.
+
+Reference equivalents: Projects/multigrid/* (components #35/#36,
+SURVEY.md §3.4): coarse level L has spacing 2^L dx; fine nodes embed in the
+coarse grid's B-spline stencils (prolongation = interpolation weights,
+restriction = its transpose); coarse operators are built by particle
+quadrature with stencils widened to the level spacing (HOT's primary
+construction — equivalent in spirit to Galerkin RAP but reusing the
+transfer kernels; SURVEY.md §7 hard part 3). Smoothers: Chebyshev over a
+power-iteration lambda_max estimate, or damped block-Jacobi. One V-cycle
+per PCG application.
+
+TPU-native notes:
+  * Prolongation IS a G2P gather (fine nodes as particles of the coarse
+    grid) and restriction IS the matching P2G scatter — the multigrid
+    transfer kernels are literally hot_tpu.ops.transfer with different
+    inputs. No sparse matrices needed for P/R.
+  * Every level's operator is matrix-free through the shared
+    elastic_hessian_apply; the per-particle dPdF context is built once per
+    Newton iteration and reused by ALL levels.
+  * The level list is a static Python tuple — the V-cycle recursion
+    unrolls at trace time into one XLA program.
+
+Hierarchy state splits in two:
+  MGStatic  — per time step: stencils, masses, activity, BC per level.
+  MGPrecond — per Newton iteration: block-diagonals + Chebyshev bounds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.ops import transfer
+from hot_tpu.sim import objective as obj_mod
+from hot_tpu.utils.config import MultigridConfig
+
+
+class MGLevel(NamedTuple):
+    stencil: transfer.Stencil   # particle stencil at this level's spacing
+    grid_m: jax.Array           # (n_nodes_l,) node mass (particle P2G at dx_l)
+    active: jax.Array           # (n_nodes_l,) bool
+    free: jax.Array             # (n_nodes_l,) bool — active and unconstrained
+    dx: float
+    res: Tuple[int, ...]
+
+
+class MGStatic(NamedTuple):
+    levels: Tuple[MGLevel, ...]
+    # embeds[l] = stencil of level-l nodes embedded in level-(l+1) grid
+    embeds: Tuple[transfer.Stencil, ...]
+
+
+class MGPrecond(NamedTuple):
+    diag_inv: Tuple[jax.Array, ...]   # per level: (n_nodes_l, d, d) block inverses
+    lmax: Tuple[jax.Array, ...]       # per level: scalar spectral bound
+    ctx: object                       # per-particle dPdF context (shared by levels)
+
+
+def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
+    return tuple((r + 1) // 2 for r in res)
+
+
+def build_static(
+    x, m, res, dx, n_levels: int, constrained, dtype,
+) -> MGStatic:
+    """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
+    level setup; rebuilt when particles move, SURVEY.md §3.4).
+
+    constrained: (n_nodes_0,) bool — fine-level Dirichlet/contact nodes.
+    Coarse constraint marking: a coarse node is constrained when more than
+    25% of its restriction weight comes from constrained fine nodes
+    (sticky-style; coarse slip is treated as free — conservative, only
+    affects preconditioner quality, not correctness).
+    """
+    levels = []
+    embeds = []
+    cur_res = tuple(res)
+    cur_dx = dx
+    cons = constrained
+    for l in range(n_levels):
+        st = transfer.particle_stencil(x, cur_dx, cur_res)
+        n_nodes = transfer.n_nodes_of(cur_res)
+        grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
+        active = grid_m > 0
+        free = jnp.logical_and(active, jnp.logical_not(cons))
+        levels.append(
+            MGLevel(stencil=st, grid_m=grid_m, active=active, free=free,
+                    dx=cur_dx, res=cur_res)
+        )
+        if l == n_levels - 1:
+            break
+        nxt_res = coarse_res(cur_res)
+        nxt_dx = cur_dx * 2.0
+        node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
+        embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
+        embeds.append(embed)
+        # propagate constraint mask to the coarse level
+        w_total = transfer.scatter_sum(
+            embed.node_ids, embed.wn, transfer.n_nodes_of(nxt_res)
+        )
+        w_cons = transfer.scatter_sum(
+            embed.node_ids,
+            embed.wn * cons[:, None].astype(embed.wn.dtype),
+            transfer.n_nodes_of(nxt_res),
+        )
+        cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
+        cur_res, cur_dx = nxt_res, nxt_dx
+    return MGStatic(levels=tuple(levels), embeds=tuple(embeds))
+
+
+def level_multiply(level: MGLevel, F_n, ctx, V0, dt, w):
+    out = obj_mod.elastic_hessian_apply(
+        level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, w
+    )
+    return out
+
+
+def level_project(level: MGLevel, r):
+    return jnp.where(level.free[:, None], r, 0.0)
+
+
+def build_precond(
+    mg: MGStatic, F_n, ctx, V0, dt, cfg: MultigridConfig, dim: int
+) -> MGPrecond:
+    """Per-Newton-iteration smoother data: block diagonals + lambda_max."""
+    diag_inv = []
+    lmax = []
+    for level in mg.levels:
+        D = obj_mod.elastic_block_diag(
+            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim
+        )
+        Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
+        diag_inv.append(Dinv)
+        lmax.append(
+            _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv, cfg.power_iters)
+        )
+    return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx)
+
+
+def _bapply(B, v):
+    return jnp.einsum("nij,nj->ni", B, v)
+
+
+def _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv, iters: int):
+    """lambda_max(D^-1 A) on the free subspace via power iteration
+    (reference: estimateEigenvalues, component #36)."""
+
+    def dinva(v):
+        v = level_project(level, v)
+        Av = level_multiply(level, F_n, ctx, V0, dt, v)
+        return level_project(level, _bapply(Dinv, Av))
+
+    d = F_n.shape[-1]
+    v = level.free[:, None].astype(F_n.dtype) * jnp.ones((1, d), F_n.dtype)
+    v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
+
+    def body(_, carry):
+        v, lam = carry
+        Av = dinva(v)
+        lam = jnp.sqrt(jnp.sum(Av * Av)) / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
+        v = Av / jnp.maximum(jnp.sqrt(jnp.sum(Av * Av)), 1e-30)
+        return (v, lam)
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), F_n.dtype)))
+    return jnp.maximum(lam, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# smoothers
+# ---------------------------------------------------------------------------
+
+
+def jacobi_smooth(level, F_n, ctx, V0, dt, Dinv, b, x, iters: int, omega: float):
+    def body(_, x):
+        r = b - level_multiply(level, F_n, ctx, V0, dt, x)
+        r = level_project(level, r)
+        return x + omega * _bapply(Dinv, r)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def chebyshev_smooth(level, F_n, ctx, V0, dt, Dinv, lmax, b, x, order: int,
+                     lo: float, hi: float):
+    """Chebyshev polynomial smoother on D^-1 A over [lo*lmax, hi*lmax]
+    (reference: chebyshevSmooth, component #36 — HOT's recommended smoother)."""
+    lmin = lo * lmax
+    lmx = hi * lmax
+    theta = 0.5 * (lmx + lmin)
+    delta = 0.5 * (lmx - lmin)
+    sigma1 = theta / delta
+
+    def resid(x):
+        return level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
+
+    r = resid(x)
+    d = level_project(level, _bapply(Dinv, r)) / theta
+    x = x + d
+    rho_prev = 1.0 / sigma1
+
+    def body(_, carry):
+        x, d, rho_prev = carry
+        r = resid(x)
+        z = level_project(level, _bapply(Dinv, r))
+        rho = 1.0 / (2.0 * sigma1 - rho_prev)
+        d = rho * rho_prev * d + (2.0 * rho / delta) * z
+        return (x + d, d, rho)
+
+    x, _, _ = jax.lax.fori_loop(0, order - 1, body, (x, d, rho_prev))
+    return x
+
+
+def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfig,
+            b, x, iters: int):
+    if cfg.smoother == "chebyshev":
+        return chebyshev_smooth(
+            level, F_n, ctx, V0, dt, pre.diag_inv[l], pre.lmax[l], b, x,
+            max(iters * cfg.chebyshev_order, 1), cfg.chebyshev_lo, cfg.chebyshev_hi,
+        )
+    omega = cfg.jacobi_omega
+    return jacobi_smooth(level, F_n, ctx, V0, dt, pre.diag_inv[l], b, x, iters, omega)
+
+
+# ---------------------------------------------------------------------------
+# V-cycle
+# ---------------------------------------------------------------------------
+
+
+def restrict(embed: transfer.Stencil, r_fine, n_nodes_coarse: int):
+    """R = P^T: scatter fine residual into coarse nodes."""
+    vals = embed.wn[:, :, None] * r_fine[:, None, :]
+    return transfer.scatter_sum(embed.node_ids, vals, n_nodes_coarse)
+
+
+def prolong(embed: transfer.Stencil, e_coarse):
+    """P: interpolate coarse correction at fine nodes (node embedding)."""
+    ec = transfer.gather(e_coarse, embed.node_ids)       # (n_fine, 3^d, d)
+    return jnp.sum(embed.wn[:, :, None] * ec, axis=1)
+
+
+def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
+            cfg: MultigridConfig, b, l: int = 0):
+    """One V(nu1, nu2) cycle on level l; returns approx A_l^-1 b."""
+    level = mg.levels[l]
+    x = jnp.zeros_like(b)
+    if l == len(mg.levels) - 1:
+        # coarsest: heavier smoothing (or CG; reference: coarseSolver knob)
+        return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
+    x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
+    r = level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
+    n_coarse = transfer.n_nodes_of(mg.levels[l + 1].res)
+    r_c = restrict(mg.embeds[l], r, n_coarse)
+    r_c = level_project(mg.levels[l + 1], r_c)
+    e_c = v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, r_c, l + 1)
+    x = x + level_project(level, prolong(mg.embeds[l], e_c))
+    x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.post_smooth)
+    return x
+
+
+def mg_precondition(mg: MGStatic, pre: MGPrecond, F_n, V0, dt,
+                    cfg: MultigridConfig, r):
+    """Preconditioner application: `cycles` V-cycles (usually 1)."""
+    ctx = pre.ctx
+    z = v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, r)
+    for _ in range(cfg.cycles - 1):
+        res = r - level_multiply(mg.levels[0], F_n, ctx, V0, dt, z)
+        z = z + v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, level_project(mg.levels[0], res))
+    return z

@@ -42,8 +42,11 @@ def newton_solve(
     build_hessian: Callable,     # v -> hessian state
     multiply: Callable,          # (hess, w) -> H w
     project: Callable,           # r -> projected r
-    precondition: Callable,      # (hess, r) -> z  (hess-dependent, e.g. MG)
+    precondition: Callable,      # (precond_state, r) -> z
     cn_norm: Callable,           # r -> scalar characteristic norm
+    build_preconditioner: Callable = lambda hess: None,  # hess -> state,
+                                 # built ONCE per Newton iteration (e.g. MG
+                                 # block diagonals + Chebyshev bounds)
     v0,
     max_newton: int = 10,
     cn_eps: float = 1e-2,
@@ -67,6 +70,7 @@ def newton_solve(
     def body(carry):
         v, r, cn, k, cg_total, hist = carry
         hess = build_hessian(v)
+        pstate = build_preconditioner(hess)
         if adaptive_forcing:
             ratio = cn / jnp.maximum(cn0, 1e-30)
             eta = jnp.clip(jnp.sqrt(ratio), cg_tol, 0.5)
@@ -75,7 +79,7 @@ def newton_solve(
         res = solve(
             lambda w: multiply(hess, w),
             -r,
-            precondition=lambda z: precondition(hess, z),
+            precondition=lambda z: precondition(pstate, z),
             project=project,
             tol=eta,
             max_iters=max_cg,

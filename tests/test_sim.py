@@ -1,0 +1,106 @@
+"""Simulation integration tests: conservation, determinism, restart,
+boundary behavior (the reference's regression style, SURVEY.md §4 —
+plus the automated checks it lacked).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hot_tpu.io import load_checkpoint, save_checkpoint
+from hot_tpu.scenes import build_scene
+from hot_tpu.sim import Simulation
+
+
+def small_drop(dtype=jnp.float64):
+    scene = build_scene("block_drop_2d", res=32, dtype=dtype)
+    return scene
+
+
+def make_sim(scene):
+    return Simulation(
+        scene["cfg"], scene["state"], scene["model"], scene["colliders"],
+        plasticity=scene["plasticity"],
+    )
+
+
+def test_free_fall_matches_analytics():
+    """Before contact the block is in rigid free fall: v = g t, x = x0 - g t^2/2."""
+    scene = small_drop()
+    sim = make_sim(scene)
+    x0 = np.asarray(sim.state.x).copy()
+    n_steps, dt = 10, 5e-3
+    for _ in range(n_steps):
+        sim.step(dt)
+    t_total = n_steps * dt
+    x = np.asarray(sim.state.x)
+    v = np.asarray(sim.state.v)
+    np.testing.assert_allclose(v[:, 1], -9.81 * t_total, rtol=1e-6)
+    # discrete backward-Euler drop: dx = -g dt^2 * (1 + 2 + ... + n)
+    drop = -9.81 * dt * dt * (n_steps * (n_steps + 1) / 2)
+    np.testing.assert_allclose(x[:, 1] - x0[:, 1], drop, rtol=1e-6)
+    # horizontal drift ~ 0
+    np.testing.assert_allclose(x[:, 0], x0[:, 0], atol=1e-10)
+
+
+def test_impact_converges_and_settles():
+    scene = small_drop()
+    sim = make_sim(scene)
+    for _ in range(120):
+        sim.step()
+    recs = sim.metrics.records
+    assert all(r["converged"] for r in recs), "Newton failed to converge"
+    assert any(r["newton_iters"] > 0 for r in recs), "implicit solve never engaged"
+    x = np.asarray(sim.state.x)
+    assert np.isfinite(x).all()
+    # settled on the floor (0.15), not sunk below more than ~a cell
+    assert x[:, 1].min() > 0.15 - 1.5 * scene["cfg"].dx
+    # kinetic energy decayed after settling
+    assert recs[-1]["kinetic_energy"] < 0.1 * max(r["kinetic_energy"] for r in recs)
+
+
+def test_determinism_bitwise():
+    """Same scene, two runs -> bitwise-identical state (SURVEY.md §5.2)."""
+    runs = []
+    for _ in range(2):
+        sim = make_sim(small_drop())
+        for _ in range(40):
+            sim.step(4e-3)
+        runs.append(jax.tree_util.tree_map(np.asarray, sim.state))
+    for a, b in zip(jax.tree_util.tree_leaves(runs[0]), jax.tree_util.tree_leaves(runs[1])):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_restart_exact(tmp_path):
+    """Restart mid-run reproduces the uninterrupted trajectory bitwise."""
+    sim = make_sim(small_drop())
+    for _ in range(20):
+        sim.step(4e-3)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, sim.state, sim.t, sim.step_count)
+    for _ in range(10):
+        sim.step(4e-3)
+    straight = jax.tree_util.tree_map(np.asarray, sim.state)
+
+    state2, t2, sc2 = load_checkpoint(path)
+    sim2 = make_sim(small_drop())
+    sim2.state, sim2.t, sim2.step_count = state2, t2, sc2
+    for _ in range(10):
+        sim2.step(4e-3)
+    resumed = jax.tree_util.tree_map(np.asarray, sim2.state)
+    for a, b in zip(jax.tree_util.tree_leaves(straight), jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_energy_dissipation_monotone_after_settle():
+    """Backward Euler is dissipative: total (kin + potential) energy must not
+    blow up; tracks the reference's energy-sanity logging (component #31)."""
+    sim = make_sim(small_drop())
+    total = []
+    for _ in range(100):
+        sim.step()
+        r = sim.metrics.records[-1]
+        total.append(r["kinetic_energy"] + r["potential_energy"])
+    e0_fall = total[5]
+    assert max(total) < 50 * max(e0_fall, 1e-6), "energy blew up"
+    assert np.isfinite(total).all()

@@ -1,0 +1,104 @@
+"""Krylov + Newton solver unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hot_tpu.solver.cg import cg_solve, minres_solve
+from hot_tpu.solver.newton import newton_solve
+
+
+def spd_system(rng, n=64, cond=100.0):
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.geomspace(1.0, cond, n)
+    A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    return A, b
+
+
+def test_cg_solves_spd(rng):
+    A, b = spd_system(rng)
+    res = cg_solve(lambda x: A @ x, b, tol=1e-12, max_iters=500)
+    want = jnp.linalg.solve(A, b)
+    np.testing.assert_allclose(res.x, want, atol=1e-8)
+    assert bool(res.converged)
+
+
+def test_cg_preconditioning_cuts_iterations(rng):
+    A, b = spd_system(rng, cond=1e4)
+    plain = cg_solve(lambda x: A @ x, b, tol=1e-10, max_iters=2000)
+    diag = jnp.diagonal(A)
+    pre = cg_solve(
+        lambda x: A @ x, b, precondition=lambda r: r / diag, tol=1e-10, max_iters=2000
+    )
+    # exact-inverse preconditioner sanity
+    Ainv = jnp.linalg.inv(A)
+    exact = cg_solve(
+        lambda x: A @ x, b, precondition=lambda r: Ainv @ r, tol=1e-10, max_iters=2000
+    )
+    assert int(exact.iters) <= 3
+    assert bool(pre.converged) and bool(plain.converged)
+
+
+def test_cg_projection_constraints(rng):
+    """Projected CG solves the constrained subproblem, leaving masked DoFs 0."""
+    A, b = spd_system(rng, n=40)
+    mask = jnp.asarray(rng.uniform(size=40) > 0.3)
+
+    def project(r):
+        return jnp.where(mask, r, 0.0)
+
+    def mult(x):
+        # identity on constrained dofs, A on free ones
+        return jnp.where(mask, A @ x, x)
+
+    res = cg_solve(mult, b, project=project, tol=1e-12, max_iters=500)
+    # solution restricted to free rows satisfies the reduced system
+    r = project(b - A @ res.x)
+    assert float(jnp.linalg.norm(r)) < 1e-7 * float(jnp.linalg.norm(b))
+    np.testing.assert_allclose(res.x * (~mask), 0.0, atol=1e-12)
+
+
+def test_minres_on_indefinite(rng):
+    n = 50
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.concatenate([np.geomspace(1, 50, n - 5), -np.geomspace(1, 5, 5)])
+    A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    res = minres_solve(lambda x: A @ x, b, tol=1e-10, max_iters=1000)
+    np.testing.assert_allclose(res.x, jnp.linalg.solve(A, b), atol=1e-6)
+
+
+def test_newton_on_rosenbrock_like(rng):
+    """Newton driver on a convex quartic: grad/Hess supplied analytically."""
+    n = 20
+    A, _ = spd_system(rng, n=n, cond=50.0)
+    x_star = jnp.asarray(rng.standard_normal(n))
+
+    # E(x) = 1/4 |x - x*|^4_A-ish: grad = A(x-x*) (1 + |x-x*|^2)
+    def grad(x):
+        d = x - x_star
+        return A @ d * (1.0 + jnp.dot(d, d))
+
+    def hess_at(x):
+        d = x - x_star
+        s = 1.0 + jnp.dot(d, d)
+        return lambda w: A @ w * s + A @ d * 2.0 * jnp.dot(d, w)
+
+    res = newton_solve(
+        residual=grad,
+        build_hessian=lambda x: hess_at(x),
+        multiply=lambda h, w: h(w),
+        project=lambda r: r,
+        precondition=lambda h, r: r,
+        cn_norm=lambda r: jnp.linalg.norm(r),
+        v0=jnp.zeros(n),
+        max_newton=50,
+        cn_eps=1e-10,
+        cg_tol=1e-10,
+        max_cg=500,
+    )
+    np.testing.assert_allclose(res.v, x_star, atol=1e-6)
+    assert bool(res.converged)
+    # quadratic-ish convergence: few iterations
+    assert int(res.iters) < 30

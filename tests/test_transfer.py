@@ -1,0 +1,112 @@
+"""Transfer-kernel unit tests (SURVEY.md §4.3): P2G == reference scatter,
+polynomial reproduction, conservation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hot_tpu.ops.bspline import (
+    quadratic_bspline_weights,
+    quadratic_kernel_1d,
+    stencil_offsets,
+    tensor_weights,
+)
+from hot_tpu.ops import transfer
+
+
+def rand_positions(rng, n, dim, res, dx):
+    # keep particles well inside so clipping never kicks in
+    return jnp.asarray(rng.uniform(3 * dx, (res - 4) * dx, (n, dim)))
+
+
+def test_partition_of_unity_and_linear_reproduction(rng):
+    """Quadratic B-splines: sum_i w = 1, sum_i w x_i = x_p, sum_i gw = 0,
+    sum_i x_i gw^T = I."""
+    dx = 1.0 / 32
+    for dim in (2, 3):
+        x = rand_positions(rng, 100, dim, 32, dx)
+        base, w, dw = quadratic_bspline_weights(x, dx)
+        wn, gwn = tensor_weights(w, dw)
+        offs = stencil_offsets(dim)
+        node_pos = (base[:, None, :] + offs[None]).astype(x.dtype) * dx
+        np.testing.assert_allclose(wn.sum(1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(
+            jnp.einsum("pk,pki->pi", wn, node_pos), x, atol=1e-12
+        )
+        np.testing.assert_allclose(gwn.sum(1), 0.0, atol=1e-9)
+        eye = jnp.eye(dim)
+        np.testing.assert_allclose(
+            jnp.einsum("pki,pkj->pij", node_pos, gwn) - eye[None], 0.0, atol=1e-9
+        )
+
+
+def test_kernel_1d_values():
+    """Spot values: at u=1 (particle exactly on a node) weights = [1/8, 3/4, 1/8]."""
+    w = quadratic_kernel_1d(jnp.asarray(1.0))
+    np.testing.assert_allclose(w, [0.125, 0.75, 0.125], atol=1e-12)
+
+
+def test_scatter_matches_bincount(rng):
+    res = (16, 16)
+    dx = 1.0 / 16
+    x = rand_positions(rng, 50, 2, 16, dx)
+    st = transfer.particle_stencil(x, dx, res)
+    vals = jnp.asarray(rng.standard_normal(st.wn.shape))
+    got = transfer.scatter_sum(st.node_ids, vals, 256)
+    want = np.bincount(
+        np.asarray(st.node_ids).reshape(-1),
+        weights=np.asarray(vals).reshape(-1),
+        minlength=256,
+    )
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_p2g_conservation(rng, dim):
+    res = (24,) * dim
+    dx = 1.0 / 24
+    n = 200
+    x = rand_positions(rng, n, dim, 24, dx)
+    v = jnp.asarray(rng.standard_normal((n, dim)))
+    C = jnp.asarray(rng.standard_normal((n, dim, dim)))
+    m = jnp.asarray(rng.uniform(0.5, 2.0, (n,)))
+    st = transfer.particle_stencil(x, dx, res)
+    gm, gmv = transfer.p2g_mass_momentum(st, v, C, m, transfer.n_nodes_of(res))
+    np.testing.assert_allclose(gm.sum(), m.sum(), rtol=1e-12)
+    # affine term is momentum-free: sum_i m w C (x_i - x_p) = m C (x_p - x_p) = 0
+    np.testing.assert_allclose(gmv.sum(0), (m[:, None] * v).sum(0), rtol=1e-10)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_g2p_reproduces_affine_field(rng, dim):
+    """grid v_i = a + B x_i  =>  v_p = a + B x_p, grad_v = B, C = B (APIC)."""
+    res = (20,) * dim
+    dx = 1.0 / 20
+    x = rand_positions(rng, 80, dim, 20, dx)
+    a = jnp.asarray(rng.standard_normal(dim))
+    B = jnp.asarray(rng.standard_normal((dim, dim)))
+    node_pos = transfer.node_positions(res, dx, x.dtype)
+    grid_v = a[None] + node_pos @ B.T
+    st = transfer.particle_stencil(x, dx, res)
+    v_p, grad_v, C = transfer.g2p(st, grid_v, dx)
+    np.testing.assert_allclose(v_p, a[None] + x @ B.T, atol=1e-10)
+    np.testing.assert_allclose(grad_v - B[None], 0.0, atol=1e-8)
+    # APIC C with the quadratic-kernel D^-1 recovers B exactly for affine fields
+    np.testing.assert_allclose(C - B[None], 0.0, atol=1e-8)
+
+
+def test_scatter_gather_adjoint(rng):
+    """<gather(g), p-values> == <g, scatter(p-values)> — the transpose pair
+    the matrix-free Hessian relies on for symmetry."""
+    res = (16, 16)
+    dx = 1.0 / 16
+    x = rand_positions(rng, 40, 2, 16, dx)
+    st = transfer.particle_stencil(x, dx, res)
+    n_nodes = 256
+    g = jnp.asarray(rng.standard_normal((n_nodes,)))
+    pv = jnp.asarray(rng.standard_normal(st.wn.shape))
+    lhs = jnp.sum(transfer.gather(g, st.node_ids) * pv)
+    rhs = jnp.sum(g * transfer.scatter_sum(st.node_ids, pv, n_nodes))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
