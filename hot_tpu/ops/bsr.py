@@ -1,0 +1,227 @@
+"""Block-sparse (d x d node blocks) Hessian assembly, SpMV/SpMM, and
+Galerkin RAP — the explicit-operator path.
+
+Reference equivalents: HOT's per-level explicit BSR-like matrices
+(components #35/#38, SURVEY.md §3.4) assembled from particle quadrature,
+and the --matfree toggle choosing between assembled and matrix-free finest
+level. BASELINE.json:5 names these directly: "BSR-blocked (3x3 node
+blocks) assembly", "SpMV/SpMM kernels", "Galerkin coarsening via SpGEMM".
+
+TPU-native format: ELL-with-geometric-offsets. A quadratic B-spline
+couples nodes at per-axis offsets in [-2, 2], so every row has at most
+K = 5^dim neighbor blocks at KNOWN geometric offsets — column structure is
+implicit (node coords + offset), stored as a compressed active-row table:
+
+  vals:      (n_rows, K, d, d)  block values (zero-padded)
+  col_row:   (n_rows, K) int32  neighbor's row index, -1 if absent/inactive
+  node_of:   (n_rows,) int32    flat node id per row
+  row_of:    (n_nodes,) int32   inverse map, -1 for inactive nodes
+
+SpMV = one gather + one einsum — the shape XLA/TPU vectorizes well; the
+Pallas tiled variant drops in underneath later with the same interface.
+n_rows is a static capacity (padded), so assembly/SpMV live inside jit
+without dynamic shapes (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.models import constitutive as cm
+from hot_tpu.ops import transfer
+
+
+class BsrMatrix(NamedTuple):
+    vals: jax.Array      # (n_rows, K, d, d), K = (2*half+1)^dim
+    col_row: jax.Array   # (n_rows, K) int32, -1 = absent
+    node_of: jax.Array   # (n_rows,) int32 flat node id (n_nodes = invalid pad)
+    row_of: jax.Array    # (n_nodes,) int32, -1 = inactive
+    res: Tuple[int, ...]
+    half: int            # stencil half-width: 2 for quadratic B-spline
+                         # quadrature operators, 4 for their Galerkin RAP
+
+    @property
+    def dim(self) -> int:
+        return len(self.res)
+
+    @property
+    def K(self) -> int:
+        return (2 * self.half + 1) ** self.dim
+
+    @property
+    def n_rows(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def block_nnz(self) -> jax.Array:
+        """Number of structurally present blocks (for nnz/s metrics)."""
+        return jnp.sum(self.col_row >= 0)
+
+
+def _offsets(dim: int, half: int = 2):
+    """All (2h+1)^dim per-axis offsets in [-h, h]; row-major flat order."""
+    rng = jnp.arange(-half, half + 1)
+    grids = jnp.meshgrid(*([rng] * dim), indexing="ij")
+    return jnp.stack([g.reshape(-1) for g in grids], axis=-1).astype(jnp.int32)
+
+
+def active_rows(active, capacity: int):
+    """Compressed row table from an active-node mask (static capacity).
+
+    Returns (node_of (capacity,), row_of (n_nodes,)). Padding rows get
+    node_of == n_nodes (out of range) and are fully masked downstream.
+    """
+    n_nodes = active.shape[0]
+    node_of = jnp.nonzero(active, size=capacity, fill_value=n_nodes)[0].astype(jnp.int32)
+    row_ids = jnp.arange(capacity, dtype=jnp.int32)
+    valid = node_of < n_nodes
+    row_of = jnp.full((n_nodes + 1,), -1, jnp.int32)
+    row_of = row_of.at[jnp.where(valid, node_of, n_nodes)].set(
+        jnp.where(valid, row_ids, -1)
+    )[:n_nodes]
+    return node_of, row_of
+
+
+def structure(active, res: Tuple[int, ...], capacity: int, half: int = 2) -> BsrMatrix:
+    """Symbolic structure: rows for active nodes, cols for active neighbors."""
+    dim = len(res)
+    K = (2 * half + 1) ** dim
+    node_of, row_of = active_rows(active, capacity)
+    res_arr = jnp.asarray(res, jnp.int32)
+    coords = transfer.unravel(jnp.minimum(node_of, transfer.n_nodes_of(res) - 1), res)
+    offs = _offsets(dim, half)                             # (K, dim)
+    ncoords = coords[:, None, :] + offs[None, :, :]        # (capacity, K, dim)
+    in_domain = jnp.all((ncoords >= 0) & (ncoords < res_arr[None, None, :]), axis=-1)
+    strides_py = []
+    s = 1
+    for r in reversed(res):
+        strides_py.append(s)
+        s *= int(r)
+    strides = jnp.asarray(strides_py[::-1], jnp.int32)
+    nids = jnp.sum(jnp.clip(ncoords, 0, res_arr - 1) * strides[None, None, :], axis=-1)
+    col_row = jnp.where(in_domain, row_of[nids], -1)
+    valid_row = node_of < transfer.n_nodes_of(res)
+    col_row = jnp.where(valid_row[:, None], col_row, -1)
+    dtypeK = jnp.zeros((capacity, K, dim, dim))
+    return BsrMatrix(vals=dtypeK, col_row=col_row, node_of=node_of, row_of=row_of,
+                     res=tuple(res), half=half)
+
+
+def assemble_hessian(
+    mat: BsrMatrix, stencil: transfer.Stencil, F_n, ctx, V0, dt, grid_m,
+) -> BsrMatrix:
+    """Fill vals with M + dt^2 K from particle quadrature.
+
+    Per particle: 3^d stencil nodes, d Hessian applies per input node
+    (dP_a = dPdF : (dt e_a g_ki^T)), then every (ki -> kj) block is a
+    (d, d) matmul dP_a @ g_kj — 3^(2d) blocks scattered by (row, offset).
+    Reference: the BSR assembly HOT performs per level (component #35).
+    """
+    dim = mat.dim
+    assert mat.half == 2, "quadrature assembly fills the 5-wide structure"
+    K = mat.K
+    s = stencil.wn.shape[1]                                # 3^dim
+    res_arr = jnp.asarray(mat.res, jnp.int32)
+    n_nodes = transfer.n_nodes_of(mat.res)
+
+    def per_particle(gwn_p, ids_p, F_p, ctx_p, V0_p):
+        g = gwn_p @ F_p                                    # (s, d): g_k = F^T gw_k
+        eye = jnp.eye(dim, dtype=F_p.dtype)
+
+        def dP_for(gk):                                    # input node ki
+            def col(a):
+                return cm.apply_hessian(ctx_p, dt * jnp.outer(eye[a], gk))
+
+            return jnp.stack([col(a) for a in range(dim)])  # (d[a], d, d)
+
+        dPs = jax.vmap(dP_for)(g)                          # (s, d_a, d, d)
+        # blocks[kj, ki][b, a] = dt V0 (dPs[ki, a] @ g_kj)[b]
+        blocks = dt * V0_p * jnp.einsum("iabc,jc->jiba", dPs, g)
+        return blocks                                      # (s_j, s_i, d, d)
+
+    blocks = jax.vmap(per_particle)(
+        stencil.gwn, stencil.node_ids, F_n, ctx, V0
+    )                                                      # (n, s, s, d, d)
+
+    # offset id of (ki relative to kj): coords difference in [-2, 2]
+    coords = transfer.unravel(stencil.node_ids, mat.res)   # (n, s, dim)
+    rel = coords[:, None, :, :] - coords[:, :, None, :]    # (n, s_j, s_i, dim)
+    off5 = rel + 2                                         # in [0, 4]
+    off_id = jnp.zeros(off5.shape[:-1], jnp.int32)
+    for a in range(dim):
+        off_id = off_id * 5 + off5[..., a]
+
+    rows = mat.row_of[stencil.node_ids]                    # (n, s_j)
+    flat_id = rows[:, :, None] * K + off_id                # (n, s_j, s_i)
+    ok = rows[:, :, None] >= 0
+    flat_id = jnp.where(ok, flat_id, mat.n_rows * K)       # dump row
+    vals = jnp.zeros((mat.n_rows * K + 1, dim * dim), blocks.dtype)
+    vals = vals.at[flat_id.reshape(-1)].add(
+        blocks.reshape(-1, dim * dim)
+    )[: mat.n_rows * K].reshape(mat.n_rows, K, dim, dim)
+
+    # inertia: m_i I at the center offset
+    center = (K - 1) // 2
+    m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
+    m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
+    eye = jnp.eye(dim, dtype=vals.dtype)
+    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
+    # absent neighbors carry no values
+    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
+    return mat._replace(vals=vals)
+
+
+def spmv(mat: BsrMatrix, x):
+    """y = A x on row vectors x: (n_rows, d)."""
+    safe_cols = jnp.maximum(mat.col_row, 0)
+    xg = x[safe_cols]                                      # (n_rows, K, d)
+    xg = jnp.where((mat.col_row >= 0)[:, :, None], xg, 0.0)
+    return jnp.einsum("rkij,rkj->ri", mat.vals, xg)
+
+
+def spmm(mat: BsrMatrix, X):
+    """Y = A X for multi-RHS X: (n_rows, d, m) (SpMM, BASELINE.json:2)."""
+    safe_cols = jnp.maximum(mat.col_row, 0)
+    Xg = X[safe_cols]                                      # (n_rows, K, d, m)
+    Xg = jnp.where((mat.col_row >= 0)[:, :, None, None], Xg, 0.0)
+    return jnp.einsum("rkij,rkjm->rim", mat.vals, Xg)
+
+
+def block_diag(mat: BsrMatrix):
+    """(n_rows, d, d) diagonal blocks (block-Jacobi)."""
+    return mat.vals[:, (mat.K - 1) // 2]
+
+
+def grid_vector_to_rows(mat: BsrMatrix, v):
+    """(n_nodes, d) -> (n_rows, d)."""
+    n_nodes = v.shape[0]
+    safe = jnp.minimum(mat.node_of, n_nodes - 1)
+    out = v[safe]
+    return jnp.where((mat.node_of < n_nodes)[:, None], out, 0.0)
+
+
+def rows_to_grid_vector(mat: BsrMatrix, y, n_nodes: int):
+    """(n_rows, d) -> (n_nodes, d)."""
+    out = jnp.zeros((n_nodes + 1, y.shape[1]), y.dtype)
+    safe = jnp.minimum(mat.node_of, n_nodes)
+    return out.at[safe].set(y)[:n_nodes]
+
+
+def to_scipy(mat: BsrMatrix):
+    """Dense scipy check matrix over row DoFs (tests only)."""
+    import numpy as np
+
+    d = mat.dim
+    n = mat.n_rows
+    A = np.zeros((n * d, n * d))
+    vals = np.asarray(mat.vals)
+    col = np.asarray(mat.col_row)
+    for r in range(n):
+        for k in range(col.shape[1]):
+            c = col[r, k]
+            if c >= 0:
+                A[r * d:(r + 1) * d, c * d:(c + 1) * d] += vals[r, k]
+    return A

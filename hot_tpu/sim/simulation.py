@@ -91,18 +91,46 @@ def advance_one_step(
         grid_m, v_star, proj, dt, dx,
     )
 
+    # Hessian representation: matrix-free (HOT's --matfree) or explicit BSR
+    if sol.matrix_free:
+        build_hess = lambda v: (
+            obj_mod.build_hessian(model, objective, v, project_spd=sol.project_hessian),
+            None,
+        )
+        multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w)
+    else:
+        from hot_tpu.ops import bsr as bsr_mod
+
+        capacity = sol.bsr_capacity or n_nodes
+        mat0 = bsr_mod.structure(active, res, capacity)
+
+        def build_hess(v):
+            hess = obj_mod.build_hessian(
+                model, objective, v, project_spd=sol.project_hessian
+            )
+            mat = bsr_mod.assemble_hessian(
+                mat0, st, state.F, hess.ctx, state.V0, dt, grid_m
+            )
+            return (hess, mat)
+
+        def multiply(hp, w):
+            _, mat = hp
+            y_rows = bsr_mod.spmv(mat, bsr_mod.grid_vector_to_rows(mat, w))
+            y = bsr_mod.rows_to_grid_vector(mat, y_rows, n_nodes)
+            return jnp.where(active[:, None], y, w)
+
     if sol.preconditioner == "none":
-        build_precond = lambda hess: None
+        build_precond = lambda hp: None
         precond = lambda pstate, r: r
     elif sol.preconditioner == "jacobi":
         # mass Jacobi (HOT's plain-PCG baseline class, component #38)
-        build_precond = lambda hess: None
+        build_precond = lambda hp: None
         precond = lambda pstate, r: obj_mod.mass_precondition(objective, r)
     elif sol.preconditioner == "block_jacobi":
         # block-diagonal of M + dt^2 K (HOT's --Ainv option)
-        def build_precond(hess):
+        def build_precond(hp):
             D = obj_mod.elastic_block_diag(
-                st, state.F, hess.ctx, state.V0, dt, grid_m, active, dim
+                st, state.F, hp[0].ctx, state.V0, dt, grid_m, active, dim
             )
             return jnp.linalg.inv(D)
 
@@ -117,9 +145,9 @@ def advance_one_step(
             state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype
         )
 
-        def build_precond(hess):
+        def build_precond(hp):
             return mg_mod.build_precond(
-                mg_static, state.F, hess.ctx, state.V0, dt, sol.multigrid, dim
+                mg_static, state.F, hp[0].ctx, state.V0, dt, sol.multigrid, dim
             )
 
         def precond(pstate, r):
@@ -131,10 +159,8 @@ def advance_one_step(
 
     result: NewtonResult = newton_solve(
         residual=lambda v: obj_mod.residual(model, objective, v),
-        build_hessian=lambda v: obj_mod.build_hessian(
-            model, objective, v, project_spd=sol.project_hessian
-        ),
-        multiply=lambda hess, w: obj_mod.multiply(objective, hess, w),
+        build_hessian=build_hess,
+        multiply=multiply,
         project=lambda r: obj_mod.project(objective, r),
         precondition=precond,
         build_preconditioner=build_precond,

@@ -54,6 +54,9 @@ class SolverConfig:
     # Eisenstat-Walker-style forcing: eta_k = min(cg_tol, sqrt(|r_k|/|r_0|))
     adaptive_forcing: bool = True
     matrix_free: bool = True        # finest-level Hessian: matrix-free vs BSR
+    # static row capacity for the explicit BSR matrix (matrix_free=False);
+    # 0 = one row per grid node (fine for 2D / small 3D grids)
+    bsr_capacity: int = 0
     line_search: bool = False       # optional backtracking (off, like HOT at CFL dt)
     project_hessian: bool = True    # SPD projection of per-particle dP/dF
     multigrid: MultigridConfig = field(default_factory=MultigridConfig)

@@ -1,0 +1,102 @@
+"""Galerkin RAP (structured SpGEMM) tests: A_c == P^T A P against a dense
+numpy construction of the node-embedding prolongation (SURVEY.md §4.3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hot_tpu.ops import bsr, spgemm, transfer
+from test_bsr import _setup
+
+
+def _dense_P(res_f, res_c):
+    """Dense prolongation: fine node j <- coarse stencil weights (numpy)."""
+    nf = int(np.prod(res_f))
+    nc = int(np.prod(res_c))
+    P = np.zeros((nf, nc))
+    dim = len(res_f)
+    coords = np.stack(
+        np.meshgrid(*[np.arange(r) for r in res_f], indexing="ij"), -1
+    ).reshape(-1, dim)
+    for j in range(nf):
+        xs = coords[j] / 2.0
+        base = np.floor(xs - 0.5).astype(int)
+        u = xs - base
+        w_ax = np.stack(
+            [0.5 * (1.5 - u) ** 2, 0.75 - (u - 1.0) ** 2, 0.5 * (u - 0.5) ** 2], -1
+        )
+        for k in range(3**dim):
+            kk = [(k // (3 ** (dim - 1 - a))) % 3 for a in range(dim)]
+            J = base + np.asarray(kk)
+            if np.all(J >= 0) and np.all(J < np.asarray(res_c)):
+                Jflat = 0
+                for a in range(dim):
+                    Jflat = Jflat * res_c[a] + J[a]
+                w = 1.0
+                for a in range(dim):
+                    w *= w_ax[a, kk[a]]
+                P[j, Jflat] = w
+    return P
+
+
+def test_rap_matches_dense():
+    mat, obj, hess, state, gm, active, n_nodes = _setup(res=20)
+    res_f = mat.res
+    res_c = tuple((r + 1) // 2 for r in res_f)
+
+    # coarse activity: any coarse node receiving weight from an active fine node
+    coords = transfer.unravel(jnp.arange(n_nodes), res_f)
+    base, w = spgemm.embedding_weights(coords, jnp.float64)
+    from hot_tpu.ops.bspline import stencil_offsets
+
+    offs = stencil_offsets(2)
+    Jc = base[:, None, :] + offs[None]
+    ok = jnp.all((Jc >= 0) & (Jc < jnp.asarray(res_c)), axis=-1)
+    Jflat = Jc[..., 0] * res_c[1] + Jc[..., 1]
+    touched = jnp.zeros(int(np.prod(res_c)), bool).at[
+        jnp.where(ok & (w > 0) & active[:, None], Jflat, 0)
+    ].set(True)
+    coarse_active = touched
+    cap_c = int(np.asarray(coarse_active).sum()) + 8
+
+    A_c = spgemm.rap(mat, res_c, coarse_active, cap_c)
+
+    # dense check: P^T A_dense P restricted to coarse rows
+    d = 2
+    nf = n_nodes
+    A_dense_rows = bsr.to_scipy(mat)  # over row dofs
+    # expand to full fine-node dof matrix
+    node_of = np.asarray(mat.node_of)
+    valid = node_of < nf
+    A_full = np.zeros((nf * d, nf * d))
+    idx = node_of[valid]
+    rmap = np.repeat(idx * d, d) + np.tile(np.arange(d), idx.size)
+    sub = A_dense_rows[np.ix_(np.repeat(np.where(valid)[0] * d, d) + np.tile(np.arange(d), valid.sum()),
+                              np.repeat(np.where(valid)[0] * d, d) + np.tile(np.arange(d), valid.sum()))]
+    A_full[np.ix_(rmap, rmap)] = sub
+
+    P1 = _dense_P(res_f, res_c)
+    Pd = np.kron(P1, np.eye(d))
+    A_c_dense_want = Pd.T @ A_full @ Pd
+
+    A_c_rows = bsr.to_scipy(A_c)
+    node_of_c = np.asarray(A_c.node_of)
+    nc = int(np.prod(res_c))
+    valid_c = node_of_c < nc
+    idx_c = node_of_c[valid_c]
+    cmap = np.repeat(idx_c * d, d) + np.tile(np.arange(d), idx_c.size)
+    rsel = np.repeat(np.where(valid_c)[0] * d, d) + np.tile(np.arange(d), valid_c.sum())
+    got = A_c_rows[np.ix_(rsel, rsel)]
+    want = A_c_dense_want[np.ix_(cmap, cmap)]
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_rap_symmetric_psd():
+    mat, obj, hess, state, gm, active, n_nodes = _setup(res=20)
+    res_c = tuple((r + 1) // 2 for r in mat.res)
+    coarse_active = jnp.ones(int(np.prod(res_c)), bool)
+    A_c = spgemm.rap(mat, res_c, coarse_active, int(np.prod(res_c)))
+    A = bsr.to_scipy(A_c)
+    np.testing.assert_allclose(A, A.T, atol=1e-8)
+    w = np.linalg.eigvalsh(A)
+    assert w.min() > -1e-7, w.min()
