@@ -44,6 +44,8 @@ class StepStats(NamedTuple):
     kinetic_energy: jax.Array
     potential_energy: jax.Array
     active_nodes: jax.Array
+    active_tiles: jax.Array     # sparse backend only (0 for dense)
+    grid_overflow: jax.Array    # tile capacity exceeded -> host must regrow
 
 
 def advance_one_step(
@@ -64,19 +66,32 @@ def advance_one_step(
     dim = cfg.dim
     res = cfg.grid_res[:dim]
     dx = cfg.dx
-    n_nodes = transfer.n_nodes_of(res)
     dtype = state.x.dtype
     gravity = jnp.asarray(cfg.gravity[:dim], dtype)
 
-    # ---- P2G --------------------------------------------------------------
-    st = transfer.particle_stencil(state.x, dx, res)
+    # ---- grid activation + P2G -------------------------------------------
+    if cfg.grid_backend == "sparse":
+        from hot_tpu.grid import sparse as sparse_mod
+
+        tgrid = sparse_mod.build_tile_grid(state.x, dx, res, cfg.tile_capacity)
+        st = sparse_mod.sparse_stencil(state.x, dx, tgrid)
+        n_nodes = tgrid.n_cnodes
+        node_pos = sparse_mod.node_positions(tgrid, dx, dtype)
+        grid_overflow = tgrid.overflow
+        n_tiles = tgrid.n_active
+    else:
+        tgrid = None
+        n_nodes = transfer.n_nodes_of(res)
+        st = transfer.particle_stencil(state.x, dx, res)
+        node_pos = transfer.node_positions(res, dx, dtype)
+        grid_overflow = jnp.zeros((), bool)
+        n_tiles = jnp.zeros((), jnp.int32)
     grid_m, grid_mv = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
     active = grid_m > 0
     inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
     v_grid = grid_mv * inv_m[:, None]
 
     # ---- grid BC ----------------------------------------------------------
-    node_pos = transfer.node_positions(res, dx, dtype)
     v_star = v_grid + dt * gravity[None, :]
     proj, v_bc, _ = collision.grid_boundary_conditions(
         node_pos, t, colliders, grid_v=v_star, boundary_margin=2, res=res, dx=dx
@@ -101,6 +116,10 @@ def advance_one_step(
     else:
         from hot_tpu.ops import bsr as bsr_mod
 
+        if cfg.grid_backend == "sparse":
+            raise NotImplementedError(
+                "explicit BSR currently requires the dense grid backend"
+            )
         capacity = sol.bsr_capacity or n_nodes
         mat0 = bsr_mod.structure(active, res, capacity)
 
@@ -142,7 +161,8 @@ def advance_one_step(
             node_pos, t, colliders, grid_v=v_star, boundary_margin=2, res=res, dx=dx
         )
         mg_static = mg_mod.build_static(
-            state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype
+            state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype,
+            tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
         )
 
         def build_precond(hp):
@@ -227,6 +247,8 @@ def advance_one_step(
         kinetic_energy=0.5 * jnp.sum(state.m * jnp.sum(v_p * v_p, axis=-1)),
         potential_energy=jnp.sum(state.V0 * psi),
         active_nodes=jnp.sum(active),
+        active_tiles=n_tiles,
+        grid_overflow=grid_overflow,
     )
     return new_state, stats
 
@@ -279,6 +301,11 @@ class Simulation:
         with self.timer.scope("advance_one_step"):
             self.state, stats = self._step(self.state, dt, self.t)
             jax.block_until_ready(self.state.x)
+        if bool(stats.grid_overflow):
+            raise RuntimeError(
+                f"sparse tile capacity exceeded ({int(stats.active_tiles)} of "
+                f"{self.cfg.tile_capacity} tiles); raise cfg.tile_capacity"
+            )
         self.t += dt
         self.step_count += 1
         self.metrics.log(
@@ -293,6 +320,7 @@ class Simulation:
             kinetic_energy=stats.kinetic_energy,
             potential_energy=stats.potential_energy,
             active_nodes=stats.active_nodes,
+            active_tiles=stats.active_tiles,
         )
         return stats
 

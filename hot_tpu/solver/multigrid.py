@@ -64,7 +64,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 
 
 def build_static(
-    x, m, res, dx, n_levels: int, constrained, dtype,
+    x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -74,15 +74,28 @@ def build_static(
     25% of its restriction weight comes from constrained fine nodes
     (sticky-style; coarse slip is treated as free — conservative, only
     affects preconditioner quality, not correctness).
+
+    tile_capacity > 0 builds every level on a block-sparse tile grid
+    (same capacity per level) instead of dense logical grids.
     """
+    sparse_mode = tile_capacity > 0
+    if sparse_mode:
+        from hot_tpu.grid import sparse as sparse_mod
+
     levels = []
     embeds = []
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained
     for l in range(n_levels):
-        st = transfer.particle_stencil(x, cur_dx, cur_res)
-        n_nodes = transfer.n_nodes_of(cur_res)
+        if sparse_mode:
+            tg = sparse_mod.build_tile_grid(x, cur_dx, cur_res, tile_capacity)
+            st = sparse_mod.sparse_stencil(x, cur_dx, tg)
+            n_nodes = tg.n_cnodes
+        else:
+            tg = None
+            st = transfer.particle_stencil(x, cur_dx, cur_res)
+            n_nodes = transfer.n_nodes_of(cur_res)
         grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
         active = grid_m > 0
         free = jnp.logical_and(active, jnp.logical_not(cons))
@@ -94,17 +107,26 @@ def build_static(
             break
         nxt_res = coarse_res(cur_res)
         nxt_dx = cur_dx * 2.0
-        node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
-        embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
+        if sparse_mode:
+            node_pos = sparse_mod.node_positions(tg, cur_dx, dtype)
+            tg_next = sparse_mod.build_tile_grid(x, nxt_dx, nxt_res, tile_capacity)
+            embed = sparse_mod.sparse_stencil(node_pos, nxt_dx, tg_next)
+            n_coarse = tg_next.n_cnodes
+            # inactive/dump fine nodes sit at a far position: zero their
+            # embedding weights so they cannot pollute coarse sums
+            ok = active[:, None]
+            embed = embed._replace(wn=jnp.where(ok, embed.wn, 0.0))
+        else:
+            node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
+            embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
+            n_coarse = transfer.n_nodes_of(nxt_res)
         embeds.append(embed)
         # propagate constraint mask to the coarse level
-        w_total = transfer.scatter_sum(
-            embed.node_ids, embed.wn, transfer.n_nodes_of(nxt_res)
-        )
+        w_total = transfer.scatter_sum(embed.node_ids, embed.wn, n_coarse)
         w_cons = transfer.scatter_sum(
             embed.node_ids,
             embed.wn * cons[:, None].astype(embed.wn.dtype),
-            transfer.n_nodes_of(nxt_res),
+            n_coarse,
         )
         cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
         cur_res, cur_dx = nxt_res, nxt_dx
@@ -250,7 +272,7 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
         return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
     r = level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
-    n_coarse = transfer.n_nodes_of(mg.levels[l + 1].res)
+    n_coarse = mg.levels[l + 1].grid_m.shape[0]
     r_c = restrict(mg.embeds[l], r, n_coarse)
     r_c = level_project(mg.levels[l + 1], r_c)
     e_c = v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, r_c, l + 1)

@@ -93,6 +93,11 @@ class SimConfig:
     # Grid extent in nodes per dimension (dense logical domain; sparse tiles
     # activate within it).
     grid_res: Tuple[int, ...] = (64, 64, 64)
+    # Background-grid storage: "dense" materializes the full logical grid
+    # (fine <= ~128^3); "sparse" uses the active-tile table (SPGrid-style,
+    # required for >= 256^3 scenes). tile_capacity = max active 4^dim tiles.
+    grid_backend: str = "dense"
+    tile_capacity: int = 4096
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
