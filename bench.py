@@ -37,6 +37,17 @@ def hbm_sol() -> float:
     return 819.0  # conservative default
 
 
+import os
+import sys
+
+VERBOSE = os.environ.get("BENCH_VERBOSE") == "1"
+
+
+def _mark(msg):
+    if VERBOSE:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from hot_tpu.scenes import build_scene
     from hot_tpu.sim import objective as obj_mod
@@ -61,17 +72,28 @@ def main():
             plasticity=scene["plasticity"],
         )
     )
+    _mark("compiling step")
     s, stats = step(state, dt, jnp.asarray(0.0, dtype))  # compile + warm
     jax.block_until_ready(s.x)
+    # twist the bar for a while so the implicit solver is actually engaged
+    _mark("step compiled; twisting bar to a stressed state")
+    warm_dt = jnp.asarray(2e-3, dtype)
+    cur = s
+    t_now = 0.0
+    for i in range(40):
+        cur, stats = step(cur, warm_dt, jnp.asarray(t_now, dtype))
+        t_now += 2e-3
+    jax.block_until_ready(cur.x)
+    _mark(f"stressed: newton={int(stats.newton_iters)} cg={int(stats.cg_iters)}; timing steps")
     n_steps = 10
     t0 = time.perf_counter()
-    t_sim = 0.0
-    cur = s
     for i in range(n_steps):
-        cur, stats = step(cur, dt, jnp.asarray(i * 5e-4, dtype))
+        cur, stats = step(cur, warm_dt, jnp.asarray(t_now, dtype))
+        t_now += 2e-3
     jax.block_until_ready(cur.x)
     t_sim = time.perf_counter() - t0
     steps_per_sec = n_steps / t_sim
+    _mark(f"steps timed: {steps_per_sec:.3f}/s; building hessian system")
 
     # ---- Hessian apply bandwidth -----------------------------------------
     grid_res = cfg.grid_res[:dim]
@@ -88,21 +110,59 @@ def main():
     obj = obj_mod.make_objective(
         model, st, cur.F, cur.V0, cur.mu, cur.lam, grid_m, v_grid, proj, dt, cfg.dx
     )
+    # NOTE: obj/hess are passed as ARGUMENTS — closing over multi-MB arrays
+    # embeds them as HLO constants and stalls the TPU compiler for minutes.
+    _mark("jit build_hessian")
     hess = jax.jit(
-        lambda v: obj_mod.build_hessian(model, obj, v)
-    )(v_grid)
+        lambda o, v: obj_mod.build_hessian(model, o, v)
+    )(obj, v_grid)
     jax.block_until_ready(hess.F_new)
+    _mark("hessian built; compiling apply")
 
-    apply_fn = jax.jit(lambda w: obj_mod.multiply(obj, hess, w))
+    apply_fn = jax.jit(lambda o, h, w: obj_mod.multiply(o, h, w))
     w = v_grid
-    w = apply_fn(w)  # compile
+    w = apply_fn(obj, hess, w)  # compile
     jax.block_until_ready(w)
+    _mark("apply compiled; timing")
     n_apply = 50
     t0 = time.perf_counter()
     for _ in range(n_apply):
-        w = apply_fn(w)
+        w = apply_fn(obj, hess, w)
     jax.block_until_ready(w)
     t_apply = (time.perf_counter() - t0) / n_apply
+
+    # ---- explicit BSR SpMV nnz/s (the BASELINE.json:2 primary metric) ----
+    _mark("assembling BSR")
+    from hot_tpu.ops import bsr as bsr_mod
+
+    n_active = int(jnp.sum(active))
+    cap = ((n_active + 1023) // 1024 + 1) * 1024
+    mat = bsr_mod.structure(active, grid_res, cap)
+    mat = jax.jit(
+        lambda m_, st_, F_, cx_, V0_, gm_: bsr_mod.assemble_hessian(
+            m_, st_, F_, cx_, V0_, dt, gm_
+        )
+    )(mat, st, cur.F, hess.ctx, cur.V0, grid_m)
+    jax.block_until_ready(mat.vals)
+    block_nnz = int(mat.block_nnz)
+    _mark(f"BSR assembled: rows={n_active} block_nnz={block_nnz}; timing spmv")
+
+    spmv_fn = jax.jit(bsr_mod.spmv)
+    x_rows = bsr_mod.grid_vector_to_rows(mat, v_grid)
+    y = spmv_fn(mat, x_rows)
+    jax.block_until_ready(y)
+    n_spmv = 100
+    t0 = time.perf_counter()
+    for _ in range(n_spmv):
+        y = spmv_fn(mat, y)
+    jax.block_until_ready(y)
+    t_spmv = (time.perf_counter() - t0) / n_spmv
+    nnz = block_nnz * dim * dim                     # scalar nonzeros
+    nnz_per_s = nnz / t_spmv
+    # SpMV traffic model (per scalar nnz): 4B value + (4B col + 12B x)/9
+    # amortized per block + y write ~ rows*24B
+    spmv_bytes = nnz * 4 + block_nnz * (4 + 12) + n_active * 24
+    spmv_gbps = spmv_bytes / t_spmv / 1e9
 
     # analytic bytes per apply (fp32): see SURVEY.md §6 roofline protocol
     bpe = jnp.dtype(dtype).itemsize
@@ -121,20 +181,26 @@ def main():
     gbps = total_bytes / t_apply / 1e9
     sol = hbm_sol()
 
+    sol_nnz_per_s = sol * 1e9 / (spmv_bytes / max(nnz, 1))
     print(
         json.dumps(
             {
-                "metric": "hessian_apply_gbps",
-                "value": round(gbps, 2),
-                "unit": "GB/s effective (matrix-free Hessian apply, 3D twisting bar 64^3)",
-                "vs_baseline": round(gbps / sol, 4),
+                "metric": "bsr_spmv_nnz_per_s",
+                "value": round(nnz_per_s, 0),
+                "unit": "scalar nnz/s (BSR 3x3 SpMV, 3D twisting bar 64^3 Hessian)",
+                "vs_baseline": round(nnz_per_s / sol_nnz_per_s, 4),
                 "extra": {
                     "device": jax.devices()[0].device_kind,
                     "backend": jax.default_backend(),
                     "particles": int(n),
                     "n_nodes": int(n_nodes),
+                    "bsr_rows": int(n_active),
+                    "block_nnz": block_nnz,
+                    "spmv_ms": round(t_spmv * 1e3, 4),
+                    "spmv_gbps": round(spmv_gbps, 2),
                     "steps_per_sec": round(steps_per_sec, 3),
-                    "apply_ms": round(t_apply * 1e3, 3),
+                    "matfree_apply_ms": round(t_apply * 1e3, 3),
+                    "matfree_apply_gbps": round(gbps, 2),
                     "hbm_sol_gbps": sol,
                     "last_newton": int(stats.newton_iters),
                     "last_cg": int(stats.cg_iters),

@@ -29,10 +29,14 @@ class CGResult(NamedTuple):
     converged: jax.Array
 
 
-def _dot(a, b):
+def _dot(a, b, axis_name=None):
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
-    return sum(jnp.sum(x * y) for x, y in zip(leaves_a, leaves_b))
+    local = sum(jnp.sum(x * y) for x, y in zip(leaves_a, leaves_b))
+    if axis_name is not None:
+        # inside shard_map: global inner product = psum of local partials
+        local = jax.lax.psum(local, axis_name)
+    return local
 
 
 def _identity(x):
@@ -49,21 +53,26 @@ def cg_solve(
     tol: float = 1e-3,
     abs_tol: float = 0.0,
     max_iters: int = 200,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Solve A x = b with preconditioned projected CG.
 
     Termination: |r|_2 <= max(tol * |r0|_2, abs_tol). All control flow is
-    lax.while_loop — jit/shard_map compatible.
+    lax.while_loop — jit/shard_map compatible. Under shard_map pass
+    `axis_name` so inner products psum across the mesh (SURVEY.md §5.8).
     """
     precondition = precondition or _identity
     project = project or _identity
+
+    def dot(a, b_):
+        return _dot(a, b_, axis_name)
 
     if x0 is None:
         x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = project(_sub(b, multiply(x0)))
     z0 = project(precondition(r0))
-    rz0 = _dot(r0, z0)
-    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    rz0 = dot(r0, z0)
+    rnorm0 = jnp.sqrt(dot(r0, r0))
     threshold = jnp.maximum(tol * rnorm0, abs_tol)
 
     def cond(carry):
@@ -73,15 +82,15 @@ def cg_solve(
     def body(carry):
         x, r, p, rz, k, _ = carry
         Ap = project(multiply(p))
-        pAp = _dot(p, Ap)
+        pAp = dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, Ap, r)
         z = project(precondition(r))
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = _axpy(beta, p, z)
-        return (x, r, p, rz_new, k + 1, jnp.sqrt(_dot(r, r)))
+        return (x, r, p, rz_new, k + 1, jnp.sqrt(dot(r, r)))
 
     x, r, _, _, k, rnorm = jax.lax.while_loop(
         cond, body, (x0, r0, z0, rz0, jnp.zeros((), jnp.int32), rnorm0)
