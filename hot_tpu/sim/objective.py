@@ -52,7 +52,8 @@ class HessianState(NamedTuple):
 
 
 def make_objective(model, stencil, F_n, V0, mu, lam, grid_m, v_star, proj, dt,
-                   dx, project_hessian: bool = True):
+                   dx, project_hessian: bool = True,
+                   scatter=transfer.default_scatter):
     """Build the ObjectiveContext (reference: backwardEulerStep setup)."""
     active = grid_m > 0
     n_nodes = grid_m.shape[0]
@@ -64,7 +65,7 @@ def make_objective(model, stencil, F_n, V0, mu, lam, grid_m, v_star, proj, dt,
     #   impulse scale s_i = max(dt * f_i, m_i * dx / dt)
     # the second term keeps free-fall nodes (no stiffness) sensibly scaled.
     stiff = V0 * (2.0 * mu + lam) / dx
-    f_char = transfer.scatter_sum(stencil.node_ids, stencil.wn * stiff[:, None], n_nodes)
+    f_char = scatter(stencil, stencil.wn * stiff[:, None], n_nodes)
     cn_scale = jnp.maximum(dt * f_char, grid_m * dx / dt)
     cn_scale = jnp.where(active, cn_scale, 1.0)
     return ObjectiveContext(
@@ -81,7 +82,7 @@ def updated_F(obj: ObjectiveContext, v):
     return (eye[None] + obj.dt * grad_v) @ obj.F_n
 
 
-def residual(model, obj: ObjectiveContext, v):
+def residual(model, obj: ObjectiveContext, v, scatter=transfer.default_scatter):
     """r(v) = M (v - v*) - dt f(v); zero at inactive nodes, BC-projected.
 
     Units: momentum. This is the gradient of the incremental potential.
@@ -91,7 +92,8 @@ def residual(model, obj: ObjectiveContext, v):
         F_new, obj.mu, obj.lam
     )
     PFt = P @ jnp.swapaxes(obj.F_n, -1, -2)
-    f = transfer.scatter_force(obj.stencil, PFt, obj.V0, obj.grid_m.shape[0])
+    f = transfer.scatter_force(obj.stencil, PFt, obj.V0, obj.grid_m.shape[0],
+                               scatter=scatter)
     r = obj.grid_m[:, None] * (v - obj.v_star) - obj.dt * f
     return project(obj, r)
 
@@ -116,7 +118,8 @@ def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True) -> 
     return HessianState(ctx=ctx, F_new=F_new)
 
 
-def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w):
+def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
+                          scatter=transfer.default_scatter):
     """Generic matrix-free (M + dt^2 K) w through an arbitrary stencil.
 
     Shared by the finest-level objective and every multigrid level (the
@@ -128,20 +131,23 @@ def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w):
     dF = dt * (grad_w @ F_n)
     dP = jax.vmap(cm.apply_hessian)(ctx, dF)
     dPFt = dP @ jnp.swapaxes(F_n, -1, -2)
-    df = transfer.scatter_force(stencil, dPFt, V0, grid_m.shape[0])
+    df = transfer.scatter_force(stencil, dPFt, V0, grid_m.shape[0], scatter=scatter)
     out = grid_m[:, None] * w - dt * df                           # -dt * (-dt ...) = +dt^2
     return jnp.where(active[:, None], out, w)
 
 
-def multiply(obj: ObjectiveContext, hess: HessianState, w):
+def multiply(obj: ObjectiveContext, hess: HessianState, w,
+             scatter=transfer.default_scatter):
     """H w at the finest level (reference: component #27's
     addScaledStressDifferentials path)."""
     return elastic_hessian_apply(
-        obj.stencil, obj.F_n, hess.ctx, obj.V0, obj.dt, obj.grid_m, obj.active, w
+        obj.stencil, obj.F_n, hess.ctx, obj.V0, obj.dt, obj.grid_m, obj.active, w,
+        scatter=scatter,
     )
 
 
-def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int):
+def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
+                       scatter=transfer.default_scatter):
     """Per-node (d, d) diagonal blocks of M + dt^2 K — the block-Jacobi
     preconditioner/smoother basis (reference: HOT's --Ainv block-diagonal
     option, component #38).
@@ -167,8 +173,8 @@ def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int):
         return jax.vmap(block_for_node)(g)               # (s, d, d)
 
     blocks = jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)    # (n, s, d, d)
-    K_diag = transfer.scatter_sum(
-        stencil.node_ids, blocks.reshape(n, s, dim * dim), grid_m.shape[0]
+    K_diag = scatter(
+        stencil, blocks.reshape(n, s, dim * dim), grid_m.shape[0]
     ).reshape(-1, dim, dim)
     eye = jnp.eye(dim, dtype=K_diag.dtype)
     D = grid_m[:, None, None] * eye[None] + K_diag

@@ -57,12 +57,35 @@ def advance_one_step(
     model,
     colliders: Sequence[collision.Collider],
     plasticity: Optional[str] = None,
+    bin_caps: Optional[Tuple[int, int]] = None,  # (cells_capacity, per-cell cap)
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
     Mirrors SURVEY.md §3.2's stack: sort/activate is implicit in the dense
     grid; P2G -> grid BC -> Newton (CN) -> G2P -> plasticity -> advect.
+
+    All contractions are traced at full fp32 matmul precision: XLA:TPU's
+    default bf16 MXU passes lose ~3 decimal digits, which stalls Newton at
+    CN ~ 1e-1 (measured; CPU fp32 converges, TPU bf16-matmul does not).
     """
+    with jax.default_matmul_precision("highest"):
+        return _advance_one_step_impl(
+            state, dt, t, cfg=cfg, model=model, colliders=colliders,
+            plasticity=plasticity, bin_caps=bin_caps,
+        )
+
+
+def _advance_one_step_impl(
+    state: ParticleState,
+    dt,
+    t,
+    *,
+    cfg: SimConfig,
+    model,
+    colliders: Sequence[collision.Collider],
+    plasticity: Optional[str] = None,
+    bin_caps: Optional[Tuple[int, int]] = None,
+) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
     dx = cfg.dx
@@ -86,7 +109,20 @@ def advance_one_step(
         node_pos = transfer.node_positions(res, dx, dtype)
         grid_overflow = jnp.zeros((), bool)
         n_tiles = jnp.zeros((), jnp.int32)
-    grid_m, grid_mv = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+    # scatter implementation: binned (scatter-free, TPU) vs plain scatter-add
+    use_binned = bin_caps is not None and cfg.grid_backend == "dense"
+    if use_binned:
+        bins = transfer.bin_particles(state.x, dx, res, bin_caps[0], bin_caps[1])
+        scatter = transfer.make_binned_scatter(bins, res)
+        bin_overflow = bins.overflow
+    else:
+        scatter = transfer.default_scatter
+        bin_overflow = jnp.zeros((), bool)
+    grid_overflow = jnp.logical_or(grid_overflow, bin_overflow)
+
+    grid_m, grid_mv = transfer.p2g_mass_momentum(
+        st, state.v, state.C, state.m, n_nodes, scatter=scatter
+    )
     active = grid_m > 0
     inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
     v_grid = grid_mv * inv_m[:, None]
@@ -103,7 +139,7 @@ def advance_one_step(
     sol = cfg.solver
     objective = obj_mod.make_objective(
         model, st, state.F, state.V0, state.mu, state.lam,
-        grid_m, v_star, proj, dt, dx,
+        grid_m, v_star, proj, dt, dx, scatter=scatter,
     )
 
     # Hessian representation: matrix-free (HOT's --matfree) or explicit BSR
@@ -112,7 +148,8 @@ def advance_one_step(
             obj_mod.build_hessian(model, objective, v, project_spd=sol.project_hessian),
             None,
         )
-        multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w)
+        multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
+                                                  scatter=scatter)
     else:
         from hot_tpu.ops import bsr as bsr_mod
 
@@ -149,7 +186,8 @@ def advance_one_step(
         # block-diagonal of M + dt^2 K (HOT's --Ainv option)
         def build_precond(hp):
             D = obj_mod.elastic_block_diag(
-                st, state.F, hp[0].ctx, state.V0, dt, grid_m, active, dim
+                st, state.F, hp[0].ctx, state.V0, dt, grid_m, active, dim,
+                scatter=scatter,
             )
             return jnp.linalg.inv(D)
 
@@ -178,7 +216,7 @@ def advance_one_step(
         raise ValueError(f"unknown preconditioner '{sol.preconditioner}'")
 
     result: NewtonResult = newton_solve(
-        residual=lambda v: obj_mod.residual(model, objective, v),
+        residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter),
         build_hessian=build_hess,
         multiply=multiply,
         project=lambda r: obj_mod.project(objective, r),
@@ -193,6 +231,8 @@ def advance_one_step(
         max_cg=sol.max_cg,
         adaptive_forcing=sol.adaptive_forcing,
         linear_solver=sol.linear_solver,
+        energy=lambda v: obj_mod.energy(model, objective, v),
+        line_search=sol.line_search,
     )
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
 
@@ -284,8 +324,31 @@ class Simulation:
                 model=model,
                 colliders=self.colliders,
                 plasticity=plasticity,
+                bin_caps=self._choose_bin_caps(),
             )
         )
+
+    def _choose_bin_caps(self) -> Optional[Tuple[int, int]]:
+        """Pick static bin capacities from the initial state (host-side)."""
+        cfg = self.cfg
+        impl = cfg.transfer_impl
+        if impl == "auto":
+            impl = "binned" if jax.default_backend() == "tpu" else "scatter"
+        if impl != "binned" or cfg.grid_backend != "dense":
+            return None
+        import numpy as np
+
+        dim = cfg.dim
+        x = np.asarray(self.state.x)
+        base = np.floor(x / cfg.dx - 0.5).astype(np.int64)
+        res = np.asarray(cfg.grid_res[:dim])
+        base = np.clip(base, 0, res - 1)
+        strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
+        cells = (base * strides).sum(axis=1)
+        uniq, counts = np.unique(cells, return_counts=True)
+        cells_cap = cfg.bin_cells_capacity or int(1.5 * len(uniq) + 64)
+        cap = cfg.bin_cap or int(2 * counts.max() + 2)
+        return (cells_cap, cap)
 
     def compute_dt(self) -> float:
         """CFL-rate dt (reference: calculateDt): particles move <= cfl cells."""

@@ -55,8 +55,16 @@ def newton_solve(
     max_cg: int = 200,
     adaptive_forcing: bool = True,
     linear_solver: str = "cg",
+    energy: Callable = None,
+    line_search: bool = False,
+    ls_max_backtracks: int = 8,
 ) -> NewtonResult:
-    """Run the inexact Newton loop. All arguments with shapes are traced."""
+    """Run the inexact Newton loop. All arguments with shapes are traced.
+
+    line_search=True enables Armijo backtracking on the incremental
+    potential (`energy` closure required) — HOT's optional robustness
+    guard for hard steps (reference component #12; off by default at
+    CFL-rate dt, matching the paper)."""
     solve = cg_solve if linear_solver == "cg" else minres_solve
 
     r0 = residual(v0)
@@ -84,7 +92,23 @@ def newton_solve(
             tol=eta,
             max_iters=max_cg,
         )
-        v_new = v + res.x
+        if line_search and energy is not None:
+            E0 = energy(v)
+            slope = jnp.sum(r * res.x)  # directional derivative (r = grad E)
+
+            def ls_cond(carry):
+                alpha, j = carry
+                armijo = energy(v + alpha * res.x) <= E0 + 1e-4 * alpha * slope
+                return jnp.logical_and(jnp.logical_not(armijo), j < ls_max_backtracks)
+
+            alpha, _ = jax.lax.while_loop(
+                ls_cond,
+                lambda c: (0.5 * c[0], c[1] + 1),
+                (jnp.ones((), r.dtype), jnp.zeros((), jnp.int32)),
+            )
+            v_new = v + alpha * res.x
+        else:
+            v_new = v + res.x
         r_new = residual(v_new)
         cn_new = cn_norm(r_new)
         hist = hist.at[k + 1].set(cn_new)

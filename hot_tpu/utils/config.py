@@ -98,6 +98,13 @@ class SimConfig:
     # required for >= 256^3 scenes). tile_capacity = max active 4^dim tiles.
     grid_backend: str = "dense"
     tile_capacity: int = 4096
+    # Transfer scatter implementation: "scatter" (plain XLA scatter-add,
+    # fine on CPU) or "binned" (cell-binned scatter-free path — required
+    # for TPU performance; XLA:TPU serializes colliding scatter-adds).
+    # "auto" picks binned on TPU backends, scatter elsewhere.
+    transfer_impl: str = "auto"
+    bin_cells_capacity: int = 0   # 0 = auto (sized from the initial state)
+    bin_cap: int = 0              # max particles per cell; 0 = auto
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
