@@ -189,6 +189,41 @@ def hessian_context(model, F, mu, lam, project: bool = True):
     return HessianContext(U=U, V=V, A=A, b_plus=b_plus, b_minus=b_minus)
 
 
+def stress_and_hessian(model, F, mu, lam, project: bool = True):
+    """(P(F), HessianContext) sharing ONE SVD — the per-Newton-iteration
+    linearization (reference: FBasedMpmForceHelper::updateState computing
+    stress and dPdF together, component #27)."""
+    d = F.shape[-1]
+    dtype = F.dtype
+    U, sigma, V = svd(F)
+    g = jax.grad(model.psi_hat)(sigma, mu, lam)
+    P = (U * g[None, :]) @ V.T
+    A = jax.jacfwd(jax.grad(model.psi_hat))(sigma, mu, lam)
+    A = 0.5 * (A + A.T)
+
+    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+
+    def safe_div(num, den):
+        mag = jnp.maximum(jnp.abs(den), eps)
+        return num * jnp.where(den >= 0, 1.0, -1.0).astype(dtype) / mag
+
+    b_plus = []
+    b_minus = []
+    for (i, j) in _pairs(d):
+        b_plus.append(safe_div(g[i] + g[j], sigma[i] + sigma[j]))
+        b_minus.append(safe_div(g[i] - g[j], sigma[i] - sigma[j]))
+    b_plus = jnp.stack(b_plus)
+    b_minus = jnp.stack(b_minus)
+
+    if project:
+        w, Q = eigh_sym(A)
+        A = (Q * jnp.maximum(w, 0.0)[None, :]) @ Q.T
+        b_plus = jnp.maximum(b_plus, 0.0)
+        b_minus = jnp.maximum(b_minus, 0.0)
+
+    return P, HessianContext(U=U, V=V, A=A, b_plus=b_plus, b_minus=b_minus)
+
+
 def apply_hessian(ctx: HessianContext, dF):
     """delta_P = (dP/dF) : dF using the cached diagonal-space context."""
     d = dF.shape[-1]

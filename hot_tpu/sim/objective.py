@@ -74,20 +74,21 @@ def make_objective(model, stencil, F_n, V0, mu, lam, grid_m, v_star, proj, dt,
     )
 
 
-def updated_F(obj: ObjectiveContext, v):
+def updated_F(obj: ObjectiveContext, v, gather_st=transfer.default_gather_stencil):
     """F_p(v) = (I + dt grad_v_p) F_n_p."""
-    grad_v = transfer.velocity_gradient(obj.stencil, v)
+    grad_v = transfer.velocity_gradient(obj.stencil, v, gather_st=gather_st)
     d = grad_v.shape[-1]
     eye = jnp.eye(d, dtype=v.dtype)
     return (eye[None] + obj.dt * grad_v) @ obj.F_n
 
 
-def residual(model, obj: ObjectiveContext, v, scatter=transfer.default_scatter):
+def residual(model, obj: ObjectiveContext, v, scatter=transfer.default_scatter,
+             gather_st=transfer.default_gather_stencil):
     """r(v) = M (v - v*) - dt f(v); zero at inactive nodes, BC-projected.
 
     Units: momentum. This is the gradient of the incremental potential.
     """
-    F_new = updated_F(obj, v)
+    F_new = updated_F(obj, v, gather_st=gather_st)
     P = jax.vmap(lambda f, m_, l_: cm.first_piola(model, f, m_, l_))(
         F_new, obj.mu, obj.lam
     )
@@ -109,17 +110,36 @@ def energy(model, obj: ObjectiveContext, v):
     return inertia + jnp.sum(obj.V0 * psi)
 
 
-def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True) -> HessianState:
+def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True,
+                  gather_st=transfer.default_gather_stencil) -> HessianState:
     """Linearize at v: per-particle SPD-projected diagonal-space Hessians."""
-    F_new = updated_F(obj, v)
+    F_new = updated_F(obj, v, gather_st=gather_st)
     ctx = jax.vmap(
         lambda f, m_, l_: cm.hessian_context(model, f, m_, l_, project=project_spd)
     )(F_new, obj.mu, obj.lam)
     return HessianState(ctx=ctx, F_new=F_new)
 
 
+def linearize(model, obj: ObjectiveContext, v, project_spd: bool = True,
+              scatter=transfer.default_scatter,
+              gather_st=transfer.default_gather_stencil):
+    """(residual, HessianState) at v with ONE SVD per particle — the
+    per-Newton-iteration evaluation (saves a full per-particle SVD chain
+    versus calling residual + build_hessian separately)."""
+    F_new = updated_F(obj, v, gather_st=gather_st)
+    P, ctx = jax.vmap(
+        lambda f, m_, l_: cm.stress_and_hessian(model, f, m_, l_, project=project_spd)
+    )(F_new, obj.mu, obj.lam)
+    PFt = P @ jnp.swapaxes(obj.F_n, -1, -2)
+    f = transfer.scatter_force(obj.stencil, PFt, obj.V0, obj.grid_m.shape[0],
+                               scatter=scatter)
+    r = obj.grid_m[:, None] * (v - obj.v_star) - obj.dt * f
+    return project(obj, r), HessianState(ctx=ctx, F_new=F_new)
+
+
 def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
-                          scatter=transfer.default_scatter):
+                          scatter=transfer.default_scatter,
+                          gather_st=transfer.default_gather_stencil):
     """Generic matrix-free (M + dt^2 K) w through an arbitrary stencil.
 
     Shared by the finest-level objective and every multigrid level (the
@@ -127,7 +147,7 @@ def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
     with stencils at coarser spacing — HOT's quadrature coarsening,
     component #35). Identity on inactive nodes so CG/smoothers ignore them.
     """
-    grad_w = transfer.velocity_gradient(stencil, w)               # G2P gather
+    grad_w = transfer.velocity_gradient(stencil, w, gather_st=gather_st)  # G2P gather
     dF = dt * (grad_w @ F_n)
     dP = jax.vmap(cm.apply_hessian)(ctx, dF)
     dPFt = dP @ jnp.swapaxes(F_n, -1, -2)
@@ -137,12 +157,13 @@ def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
 
 
 def multiply(obj: ObjectiveContext, hess: HessianState, w,
-             scatter=transfer.default_scatter):
+             scatter=transfer.default_scatter,
+             gather_st=transfer.default_gather_stencil):
     """H w at the finest level (reference: component #27's
     addScaledStressDifferentials path)."""
     return elastic_hessian_apply(
         obj.stencil, obj.F_n, hess.ctx, obj.V0, obj.dt, obj.grid_m, obj.active, w,
-        scatter=scatter,
+        scatter=scatter, gather_st=gather_st,
     )
 
 

@@ -114,9 +114,11 @@ def _advance_one_step_impl(
     if use_binned:
         bins = transfer.bin_particles(state.x, dx, res, bin_caps[0], bin_caps[1])
         scatter = transfer.make_binned_scatter(bins, res)
+        gather_st = transfer.make_binned_gather(bins, res)
         bin_overflow = bins.overflow
     else:
         scatter = transfer.default_scatter
+        gather_st = transfer.default_gather_stencil
         bin_overflow = jnp.zeros((), bool)
     grid_overflow = jnp.logical_or(grid_overflow, bin_overflow)
 
@@ -145,11 +147,26 @@ def _advance_one_step_impl(
     # Hessian representation: matrix-free (HOT's --matfree) or explicit BSR
     if sol.matrix_free:
         build_hess = lambda v: (
-            obj_mod.build_hessian(model, objective, v, project_spd=sol.project_hessian),
+            obj_mod.build_hessian(model, objective, v,
+                                  project_spd=sol.project_hessian,
+                                  gather_st=gather_st),
             None,
         )
         multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
-                                                  scatter=scatter)
+                                                  scatter=scatter,
+                                                  gather_st=gather_st)
+
+        def lin(v):
+            # fused residual + Hessian (one SVD chain per Newton iteration)
+            r, hess = obj_mod.linearize(
+                model, objective, v, project_spd=sol.project_hessian,
+                scatter=scatter, gather_st=gather_st,
+            )
+            return r, (hess, None)
+    else:
+        lin = None
+    if sol.matrix_free:
+        pass
     else:
         from hot_tpu.ops import bsr as bsr_mod
 
@@ -216,7 +233,8 @@ def _advance_one_step_impl(
         raise ValueError(f"unknown preconditioner '{sol.preconditioner}'")
 
     result: NewtonResult = newton_solve(
-        residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter),
+        residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter,
+                                            gather_st=gather_st),
         build_hessian=build_hess,
         multiply=multiply,
         project=lambda r: obj_mod.project(objective, r),
@@ -233,13 +251,14 @@ def _advance_one_step_impl(
         linear_solver=sol.linear_solver,
         energy=lambda v: obj_mod.energy(model, objective, v),
         line_search=sol.line_search,
+        linearize=lin,
     )
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
 
     # ---- G2P + state update ----------------------------------------------
-    v_pic, grad_v, C_new = transfer.g2p(st, v_new, dx)
+    v_pic, grad_v, C_new = transfer.g2p(st, v_new, dx, gather_st=gather_st)
     if cfg.transfer == "flip":
-        v_old_interp, _, _ = transfer.g2p(st, v_grid, dx)
+        v_old_interp, _, _ = transfer.g2p(st, v_grid, dx, gather_st=gather_st)
         v_p = (1.0 - cfg.flip_ratio) * v_pic + cfg.flip_ratio * (
             state.v + (v_pic - v_old_interp)
         )

@@ -38,8 +38,8 @@ class NewtonResult(NamedTuple):
 
 def newton_solve(
     *,
-    residual: Callable,          # v -> r (projected)
-    build_hessian: Callable,     # v -> hessian state
+    residual: Callable = None,   # v -> r (projected); optional with linearize
+    build_hessian: Callable = None,  # v -> hessian state; optional with linearize
     multiply: Callable,          # (hess, w) -> H w
     project: Callable,           # r -> projected r
     precondition: Callable,      # (precond_state, r) -> z
@@ -58,6 +58,9 @@ def newton_solve(
     energy: Callable = None,
     line_search: bool = False,
     ls_max_backtracks: int = 8,
+    linearize: Callable = None,   # v -> (r, hess); overrides residual +
+                                  # build_hessian with a fused evaluation
+                                  # (one SVD chain per Newton iteration)
 ) -> NewtonResult:
     """Run the inexact Newton loop. All arguments with shapes are traced.
 
@@ -67,17 +70,20 @@ def newton_solve(
     CFL-rate dt, matching the paper)."""
     solve = cg_solve if linear_solver == "cg" else minres_solve
 
-    r0 = residual(v0)
+    if linearize is None:
+        assert residual is not None and build_hessian is not None
+        linearize = lambda v: (residual(v), build_hessian(v))
+
+    r0, hess0 = linearize(v0)
     cn0 = cn_norm(r0)
 
     def cond(carry):
-        v, r, cn, k, cg_total, hist = carry
+        v, r, hess, cn, k, cg_total, hist = carry
         not_conv = jnp.logical_and(cn > cn_eps, jnp.sqrt(jnp.sum(r * r)) > abs_tol)
         return jnp.logical_and(k < max_newton, not_conv)
 
     def body(carry):
-        v, r, cn, k, cg_total, hist = carry
-        hess = build_hessian(v)
+        v, r, hess, cn, k, cg_total, hist = carry
         pstate = build_preconditioner(hess)
         if adaptive_forcing:
             ratio = cn / jnp.maximum(cn0, 1e-30)
@@ -109,14 +115,16 @@ def newton_solve(
             v_new = v + alpha * res.x
         else:
             v_new = v + res.x
-        r_new = residual(v_new)
+        r_new, hess_new = linearize(v_new)
         cn_new = cn_norm(r_new)
         hist = hist.at[k + 1].set(cn_new)
-        return (v_new, r_new, cn_new, k + 1, cg_total + res.iters, hist)
+        return (v_new, r_new, hess_new, cn_new, k + 1, cg_total + res.iters, hist)
 
     hist0 = jnp.full((max_newton + 1,), cn0, dtype=r0.dtype)
-    v, r, cn, k, cg_total, hist = jax.lax.while_loop(
-        cond, body, (v0, r0, cn0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), hist0)
+    v, r, _, cn, k, cg_total, hist = jax.lax.while_loop(
+        cond,
+        body,
+        (v0, r0, hess0, cn0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), hist0),
     )
     # pad the unreached history slots with the final CN value
     idx = jnp.arange(hist.shape[0])
