@@ -34,14 +34,24 @@ from hot_tpu.models import constitutive as cm
 from hot_tpu.ops import transfer
 
 
-class BsrMatrix(NamedTuple):
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BsrMatrix:
     vals: jax.Array      # (n_rows, K, d, d), K = (2*half+1)^dim
     col_row: jax.Array   # (n_rows, K) int32, -1 = absent
     node_of: jax.Array   # (n_rows,) int32 flat node id (n_nodes = invalid pad)
     row_of: jax.Array    # (n_nodes,) int32, -1 = inactive
-    res: Tuple[int, ...]
-    half: int            # stencil half-width: 2 for quadratic B-spline
-                         # quadrature operators, 4 for their Galerkin RAP
+    # static metadata (aux data — stays Python across jit boundaries)
+    res: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    half: int = dataclasses.field(metadata=dict(static=True))
+    # half: 2 for quadratic B-spline quadrature operators, 3 for their
+    # Galerkin RAP
+
+    def _replace(self, **kw) -> "BsrMatrix":
+        return dataclasses.replace(self, **kw)
 
     @property
     def dim(self) -> int:

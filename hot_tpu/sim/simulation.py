@@ -218,6 +218,7 @@ def _advance_one_step_impl(
         mg_static = mg_mod.build_static(
             state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype,
             tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
+            bin_caps=(bin_caps if use_binned else None),
         )
 
         def build_precond(hp):

@@ -45,12 +45,29 @@ class MGLevel(NamedTuple):
     free: jax.Array             # (n_nodes_l,) bool — active and unconstrained
     dx: float
     res: Tuple[int, ...]
+    bins: object                # CellBins for the binned transfer path
+                                # (None on sparse tile grids)
+
+    @property
+    def scatter(self):
+        if self.bins is None:
+            return transfer.default_scatter
+        return transfer.make_binned_scatter(self.bins, self.res)
+
+    @property
+    def gather_st(self):
+        if self.bins is None:
+            return transfer.default_gather_stencil
+        return transfer.make_binned_gather(self.bins, self.res)
 
 
 class MGStatic(NamedTuple):
     levels: Tuple[MGLevel, ...]
     # embeds[l] = stencil of level-l nodes embedded in level-(l+1) grid
     embeds: Tuple[transfer.Stencil, ...]
+    # embed_bins[l] = CellBins of level-l nodes in level-(l+1) cells (dense
+    # path; None entries on sparse tile grids)
+    embed_bins: Tuple[object, ...]
 
 
 class MGPrecond(NamedTuple):
@@ -65,6 +82,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 
 def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
+    bin_caps=None,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -84,10 +102,12 @@ def build_static(
 
     levels = []
     embeds = []
+    embed_bins_list = []
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained
     for l in range(n_levels):
+        bins_l = None
         if sparse_mode:
             tg = sparse_mod.build_tile_grid(x, cur_dx, cur_res, tile_capacity)
             st = sparse_mod.sparse_stencil(x, cur_dx, tg)
@@ -96,17 +116,26 @@ def build_static(
             tg = None
             st = transfer.particle_stencil(x, cur_dx, cur_res)
             n_nodes = transfer.n_nodes_of(cur_res)
-        grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
+            if bin_caps is not None:
+                # coarser levels: ~8x fewer cells, ~8x more particles/cell
+                cells_cap = max(bin_caps[0] >> (len(res) * l), 64)
+                cap = bin_caps[1] << (len(res) * l)
+                bins_l = transfer.bin_particles(x, cur_dx, cur_res, cells_cap, cap)
+        if bins_l is not None:
+            grid_m = transfer.binned_scatter(bins_l, st.wn * m[:, None], cur_res)
+        else:
+            grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
         active = grid_m > 0
         free = jnp.logical_and(active, jnp.logical_not(cons))
         levels.append(
             MGLevel(stencil=st, grid_m=grid_m, active=active, free=free,
-                    dx=cur_dx, res=cur_res)
+                    dx=cur_dx, res=cur_res, bins=bins_l)
         )
         if l == n_levels - 1:
             break
         nxt_res = coarse_res(cur_res)
         nxt_dx = cur_dx * 2.0
+        e_bins = None
         if sparse_mode:
             node_pos = sparse_mod.node_positions(tg, cur_dx, dtype)
             tg_next = sparse_mod.build_tile_grid(x, nxt_dx, nxt_res, tile_capacity)
@@ -120,7 +149,16 @@ def build_static(
             node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
             embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
             n_coarse = transfer.n_nodes_of(nxt_res)
+            if bin_caps is not None:
+                # every coarse cell holds at most 2^dim embedded fine nodes
+                embed_cells = transfer.n_nodes_of(
+                    tuple(-(-r // 1) for r in nxt_res)
+                )
+                e_bins = transfer.bin_particles(
+                    node_pos, nxt_dx, nxt_res, embed_cells, 2 ** len(res)
+                )
         embeds.append(embed)
+        embed_bins_list.append(e_bins)
         # propagate constraint mask to the coarse level
         w_total = transfer.scatter_sum(embed.node_ids, embed.wn, n_coarse)
         w_cons = transfer.scatter_sum(
@@ -130,12 +168,14 @@ def build_static(
         )
         cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
         cur_res, cur_dx = nxt_res, nxt_dx
-    return MGStatic(levels=tuple(levels), embeds=tuple(embeds))
+    return MGStatic(levels=tuple(levels), embeds=tuple(embeds),
+                    embed_bins=tuple(embed_bins_list))
 
 
 def level_multiply(level: MGLevel, F_n, ctx, V0, dt, w):
     out = obj_mod.elastic_hessian_apply(
-        level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, w
+        level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, w,
+        scatter=level.scatter, gather_st=level.gather_st,
     )
     return out
 
@@ -152,7 +192,8 @@ def build_precond(
     lmax = []
     for level in mg.levels:
         D = obj_mod.elastic_block_diag(
-            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim
+            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
+            scatter=level.scatter,
         )
         Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
         diag_inv.append(Dinv)
@@ -250,15 +291,21 @@ def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfi
 # ---------------------------------------------------------------------------
 
 
-def restrict(embed: transfer.Stencil, r_fine, n_nodes_coarse: int):
+def restrict(embed: transfer.Stencil, r_fine, n_nodes_coarse: int,
+             bins=None, res_coarse=None):
     """R = P^T: scatter fine residual into coarse nodes."""
     vals = embed.wn[:, :, None] * r_fine[:, None, :]
+    if bins is not None:
+        return transfer.binned_scatter(bins, vals, res_coarse)
     return transfer.scatter_sum(embed.node_ids, vals, n_nodes_coarse)
 
 
-def prolong(embed: transfer.Stencil, e_coarse):
+def prolong(embed: transfer.Stencil, e_coarse, bins=None, res_coarse=None):
     """P: interpolate coarse correction at fine nodes (node embedding)."""
-    ec = transfer.gather(e_coarse, embed.node_ids)       # (n_fine, 3^d, d)
+    if bins is not None:
+        ec = transfer.window_gather(bins, e_coarse, res_coarse)
+    else:
+        ec = transfer.gather(e_coarse, embed.node_ids)   # (n_fine, 3^d, d)
     return jnp.sum(embed.wn[:, :, None] * ec, axis=1)
 
 
@@ -273,10 +320,13 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
     r = level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
     n_coarse = mg.levels[l + 1].grid_m.shape[0]
-    r_c = restrict(mg.embeds[l], r, n_coarse)
+    r_c = restrict(mg.embeds[l], r, n_coarse, bins=mg.embed_bins[l],
+                   res_coarse=mg.levels[l + 1].res)
     r_c = level_project(mg.levels[l + 1], r_c)
     e_c = v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, r_c, l + 1)
-    x = x + level_project(level, prolong(mg.embeds[l], e_c))
+    x = x + level_project(level, prolong(mg.embeds[l], e_c,
+                                         bins=mg.embed_bins[l],
+                                         res_coarse=mg.levels[l + 1].res))
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.post_smooth)
     return x
 
