@@ -233,27 +233,72 @@ def _advance_one_step_impl(
     else:
         raise ValueError(f"unknown preconditioner '{sol.preconditioner}'")
 
-    result: NewtonResult = newton_solve(
-        residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter,
-                                            gather_st=gather_st),
-        build_hessian=build_hess,
-        multiply=multiply,
-        project=lambda r: obj_mod.project(objective, r),
-        precondition=precond,
-        build_preconditioner=build_precond,
-        cn_norm=lambda r: obj_mod.cn_norm(objective, r),
-        v0=v0,
-        max_newton=sol.max_newton,
-        cn_eps=sol.cn_eps if sol.use_cn else 0.0,
-        abs_tol=sol.abs_tol,
-        cg_tol=sol.cg_tol,
-        max_cg=sol.max_cg,
-        adaptive_forcing=sol.adaptive_forcing,
-        linear_solver=sol.linear_solver,
-        energy=lambda v: obj_mod.energy(model, objective, v),
-        line_search=sol.line_search,
-        linearize=lin,
-    )
+    if sol.integrator == "explicit":
+        # symplectic-Euler grid update (reference: the explicit path of
+        # MpmSimulationBase::advanceOneTimeStep — forces at F_n, no solve)
+        P = jax.vmap(lambda f, m_, l_: cm.first_piola(model, f, m_, l_))(
+            state.F, state.mu, state.lam
+        )
+        PFt = P @ jnp.swapaxes(state.F, -1, -2)
+        f_grid = transfer.scatter_force(st, PFt, state.V0, n_nodes, scatter=scatter)
+        v_solved = v_star + dt * f_grid * inv_m[:, None]
+        result = NewtonResult(
+            v=v_solved,
+            iters=jnp.zeros((), jnp.int32),
+            cg_iters=jnp.zeros((), jnp.int32),
+            cn_residual=jnp.zeros((), dtype),
+            cn_residual0=jnp.zeros((), dtype),
+            converged=jnp.ones((), bool),
+            cn_history=jnp.zeros((sol.max_newton + 1,), dtype),
+        )
+    elif sol.nonlinear == "lbfgs":
+        # quasi-Newton baseline (the paper's LBFGS-H comparison solver)
+        from hot_tpu.solver.lbfgs import lbfgs_solve
+
+        lres = lbfgs_solve(
+            energy=lambda v: obj_mod.energy(model, objective, v),
+            gradient=lambda v: obj_mod.residual(
+                model, objective, v, scatter=scatter, gather_st=gather_st
+            ),
+            project=lambda r: obj_mod.project(objective, r),
+            precondition=lambda r: obj_mod.mass_precondition(objective, r),
+            cn_norm=lambda r: obj_mod.cn_norm(objective, r),
+            v0=v0,
+            history=sol.lbfgs_history,
+            max_iters=sol.max_cg,
+            cn_eps=sol.cn_eps if sol.use_cn else 0.0,
+        )
+        result = NewtonResult(
+            v=lres.v,
+            iters=lres.iters,
+            cg_iters=lres.iters,
+            cn_residual=lres.grad_norm,
+            cn_residual0=lres.grad_norm,
+            converged=lres.converged,
+            cn_history=jnp.zeros((sol.max_newton + 1,), dtype),
+        )
+    else:
+        result: NewtonResult = newton_solve(
+            residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter,
+                                                gather_st=gather_st),
+            build_hessian=build_hess,
+            multiply=multiply,
+            project=lambda r: obj_mod.project(objective, r),
+            precondition=precond,
+            build_preconditioner=build_precond,
+            cn_norm=lambda r: obj_mod.cn_norm(objective, r),
+            v0=v0,
+            max_newton=sol.max_newton,
+            cn_eps=sol.cn_eps if sol.use_cn else 0.0,
+            abs_tol=sol.abs_tol,
+            cg_tol=sol.cg_tol,
+            max_cg=sol.max_cg,
+            adaptive_forcing=sol.adaptive_forcing,
+            linear_solver=sol.linear_solver,
+            energy=lambda v: obj_mod.energy(model, objective, v),
+            line_search=sol.line_search,
+            linearize=lin,
+        )
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
 
     # ---- G2P + state update ----------------------------------------------

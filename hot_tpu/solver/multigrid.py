@@ -315,7 +315,22 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
     level = mg.levels[l]
     x = jnp.zeros_like(b)
     if l == len(mg.levels) - 1:
-        # coarsest: heavier smoothing (or CG; reference: coarseSolver knob)
+        # coarsest solve (reference: --coarseSolver knob)
+        if cfg.coarse_solver == "cg":
+            from hot_tpu.solver.cg import cg_solve
+
+            Dinv = pre.diag_inv[l]
+            res = cg_solve(
+                lambda w: level_project(
+                    level, level_multiply(level, F_n, ctx, V0, dt, w)
+                ),
+                b,
+                precondition=lambda r: _bapply(Dinv, r),
+                project=lambda r: level_project(level, r),
+                tol=1e-2,
+                max_iters=cfg.coarse_iters,
+            )
+            return res.x
         return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
     r = level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))

@@ -43,6 +43,14 @@ class SolverConfig:
     """Newton + Krylov knobs (reference flags --usecn --cneps --lsolver
     --Ainv --matfree; components #37/#38/#10)."""
 
+    # Time integrator: "implicit" (backward Euler, HOT) or "explicit"
+    # (symplectic Euler — the reference's explicit MPM path in
+    # MpmSimulationBase; needs sound-CFL dt)
+    integrator: str = "implicit"
+    # Nonlinear solver for the implicit step: "newton" (HOT) or "lbfgs"
+    # (the paper's LBFGS-H baseline)
+    nonlinear: str = "newton"
+    lbfgs_history: int = 8
     max_newton: int = 10
     use_cn: bool = True             # characteristic-norm termination
     cn_eps: float = 1e-2            # --cneps
