@@ -139,31 +139,47 @@ def linearize(model, obj: ObjectiveContext, v, project_spd: bool = True,
 
 def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
                           scatter=transfer.default_scatter,
-                          gather_st=transfer.default_gather_stencil):
+                          gather_st=transfer.default_gather_stencil,
+                          fused: bool = False):
     """Generic matrix-free (M + dt^2 K) w through an arbitrary stencil.
 
     Shared by the finest-level objective and every multigrid level (the
     node-embedding coarse operators use the same per-particle dPdF context
     with stencils at coarser spacing — HOT's quadrature coarsening,
     component #35). Identity on inactive nodes so CG/smoothers ignore them.
+
+    fused=True routes the per-particle chain through the Pallas kernel
+    (ops.pallas_apply) — one kernel between gather and scatter.
     """
-    grad_w = transfer.velocity_gradient(stencil, w, gather_st=gather_st)  # G2P gather
-    dF = dt * (grad_w @ F_n)
-    dP = jax.vmap(cm.apply_hessian)(ctx, dF)
-    dPFt = dP @ jnp.swapaxes(F_n, -1, -2)
-    df = transfer.scatter_force(stencil, dPFt, V0, grid_m.shape[0], scatter=scatter)
+    if fused:
+        from hot_tpu.ops.pallas_apply import fused_contrib
+
+        vi = gather_st(stencil, w)                                # (n, s, d)
+        contrib = fused_contrib(
+            vi, stencil.gwn, F_n, ctx.U, ctx.V, ctx.A, ctx.b_plus, ctx.b_minus,
+            V0, dt,
+        )
+        df = scatter(stencil, contrib, grid_m.shape[0])
+    else:
+        grad_w = transfer.velocity_gradient(stencil, w, gather_st=gather_st)
+        dF = dt * (grad_w @ F_n)
+        dP = jax.vmap(cm.apply_hessian)(ctx, dF)
+        dPFt = dP @ jnp.swapaxes(F_n, -1, -2)
+        df = transfer.scatter_force(stencil, dPFt, V0, grid_m.shape[0],
+                                    scatter=scatter)
     out = grid_m[:, None] * w - dt * df                           # -dt * (-dt ...) = +dt^2
     return jnp.where(active[:, None], out, w)
 
 
 def multiply(obj: ObjectiveContext, hess: HessianState, w,
              scatter=transfer.default_scatter,
-             gather_st=transfer.default_gather_stencil):
+             gather_st=transfer.default_gather_stencil,
+             fused: bool = False):
     """H w at the finest level (reference: component #27's
     addScaledStressDifferentials path)."""
     return elastic_hessian_apply(
         obj.stencil, obj.F_n, hess.ctx, obj.V0, obj.dt, obj.grid_m, obj.active, w,
-        scatter=scatter, gather_st=gather_st,
+        scatter=scatter, gather_st=gather_st, fused=fused,
     )
 
 

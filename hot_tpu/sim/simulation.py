@@ -154,7 +154,8 @@ def _advance_one_step_impl(
         )
         multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
                                                   scatter=scatter,
-                                                  gather_st=gather_st)
+                                                  gather_st=gather_st,
+                                                  fused=sol.pallas_apply)
 
         def lin(v):
             # fused residual + Hessian (one SVD chain per Newton iteration)

@@ -62,6 +62,9 @@ class SolverConfig:
     # Eisenstat-Walker-style forcing: eta_k = min(cg_tol, sqrt(|r_k|/|r_0|))
     adaptive_forcing: bool = True
     matrix_free: bool = True        # finest-level Hessian: matrix-free vs BSR
+    # Route the per-particle Hessian-apply chain through the Pallas fused
+    # kernel (ops.pallas_apply). Requires a TPU (or interpret mode).
+    pallas_apply: bool = False
     # static row capacity for the explicit BSR matrix (matrix_free=False);
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0
