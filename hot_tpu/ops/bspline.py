@@ -50,6 +50,42 @@ def quadratic_kernel_grad_1d(u):
     return jnp.stack([g0, g1, g2], axis=-1)
 
 
+def cubic_kernel_1d(u):
+    """Cubic B-spline N(u) at the 4 stencil offsets (reference: BSplines.h
+    cubic branch; 4-wide stencil, base = floor(x/dx) - 1, u = x/dx - base).
+
+      N(t) = 1/2|t|^3 - t^2 + 2/3          for |t| < 1
+           = -1/6|t|^3 + t^2 - 2|t| + 4/3  for 1 <= |t| < 2
+    Offsets 0..3 have t = u, u-1, u-2, u-3 with u in [1, 2).
+    """
+    def outer(t):
+        a = jnp.abs(t)
+        return -a**3 / 6.0 + a * a - 2.0 * a + 4.0 / 3.0
+
+    def inner(t):
+        a = jnp.abs(t)
+        return 0.5 * a**3 - t * t + 2.0 / 3.0
+
+    return jnp.stack(
+        [outer(u), inner(u - 1.0), inner(u - 2.0), outer(u - 3.0)], axis=-1
+    )
+
+
+def cubic_kernel_grad_1d(u):
+    """d/dt of the cubic kernel at the 4 stencil offsets."""
+    def outer(t):
+        a = jnp.abs(t)
+        return jnp.sign(t) * (-0.5 * a * a + 2.0 * a - 2.0)
+
+    def inner(t):
+        a = jnp.abs(t)
+        return jnp.sign(t) * (1.5 * a * a) - 2.0 * t
+
+    return jnp.stack(
+        [outer(u), inner(u - 1.0), inner(u - 2.0), outer(u - 3.0)], axis=-1
+    )
+
+
 def quadratic_bspline_weights(x, dx):
     """Base node + per-axis weights for particle position(s) x.
 

@@ -197,11 +197,72 @@ def _box_phi(x, lo, hi):
     return outside + inside
 
 
+def sand_column_2d(res: int = 64, E: float = 3.5e5, dtype=jnp.float32):
+    """Drucker-Prager sand column collapse (reference: the sand scenes of
+    PlasticityApplier; StVK-Hencky elasticity + friction-cone return map)."""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=2, dx=dx, grid_res=(res, res), gravity=(0.0, -9.81),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    key = jax.random.PRNGKey(3)
+    x, vol = sample_box(key, (0.42, 0.16), (0.58, 0.56), dx,
+                        particles_per_cell=4, dtype=dtype)
+    mu, lam = lame_parameters(E, 0.3)
+    state = make_particle_state(x, particle_volume=vol, density=1600.0,
+                                mu=mu, lam=lam, dtype=dtype)
+    colliders = (
+        HalfSpace(kind=SLIP, friction=0.4, origin=(0.0, 0.15), n=(0.0, 1.0)),
+    )
+    return dict(cfg=cfg, state=state, model=MODEL_REGISTRY["stvk_hencky"],
+                colliders=colliders, plasticity="drucker_prager")
+
+
+def snowball_drop_2d(res: int = 64, E: float = 1.4e5, dtype=jnp.float32):
+    """Snow ball drop (reference: SnowPlasticity scenes — Stomakhin snow
+    with singular-value clamping and Jp tracking)."""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=2, dx=dx, grid_res=(res, res), gravity=(0.0, -9.81),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    key = jax.random.PRNGKey(4)
+    x, vol = sample_level_set(
+        key,
+        lambda p: jnp.linalg.norm(p - jnp.asarray([0.5, 0.6], p.dtype)[None, :], axis=-1) - 0.1,
+        (0.38, 0.48), (0.62, 0.72), dx, particles_per_cell=4, dtype=dtype,
+    )
+    mu, lam = lame_parameters(E, 0.2)
+    state = make_particle_state(x, particle_volume=vol, density=400.0,
+                                mu=mu, lam=lam, velocity=jnp.asarray([0.0, -2.0]),
+                                dtype=dtype)
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.15), n=(0.0, 1.0)),)
+    return dict(cfg=cfg, state=state, model=MODEL_REGISTRY["fixed_corotated"],
+                colliders=colliders, plasticity="snow")
+
+
+def twisting_bar_vonmises_3d(res: int = 64, E: float = 1e6, ppc: int = 8,
+                             yield_stress: float = 2e4, dtype=jnp.float32):
+    """Elastoplastic twisting bar: StVK-Hencky + von Mises yield — the
+    reference's elastoplastic twist variant."""
+    out = twisting_bar_3d(res=res, E=E, ppc=ppc, dtype=dtype)
+    state = out["state"]
+    out["state"] = state.replace(
+        yield_stress=jnp.full((state.n,), yield_stress, state.x.dtype)
+    )
+    out["model"] = MODEL_REGISTRY["stvk_hencky"]
+    out["plasticity"] = "von_mises"
+    return out
+
+
 SCENES = {
     "block_drop_2d": block_drop_2d,
     "twisting_bar_3d": twisting_bar_3d,
+    "twisting_bar_vonmises_3d": twisting_bar_vonmises_3d,
     "stacked_boxes_3d": stacked_boxes_3d,
     "faceless_3d": faceless_3d,
+    "sand_column_2d": sand_column_2d,
+    "snowball_drop_2d": snowball_drop_2d,
 }
 
 

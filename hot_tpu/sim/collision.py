@@ -43,6 +43,9 @@ class Collider:
     # Scripted rigid motion: returns (linear_velocity, angular_velocity,
     # center) at time t. None = static object.
     motion: Optional[Callable] = None
+    # Coulomb friction coefficient for slip/separate contacts (reference:
+    # AnalyticCollisionObject's friction; 0 = frictionless slip).
+    friction: float = 0.0
 
     def phi(self, x, t):  # (n, d) -> (n,)
         raise NotImplementedError
@@ -188,7 +191,29 @@ def grid_boundary_conditions(
         active = inside
         # Sequential composition (reference applies objects in order):
         proj = jnp.where(active[:, None, None], P_c @ proj, proj)
-        v_bc = jnp.where(active[:, None], v_obj + _apply(P_c, v_bc - v_obj), v_bc)
+        v_bc_new = v_obj + _apply(P_c, v_bc - v_obj)
+        if c.kind != STICKY and c.friction > 0.0 and grid_v is not None:
+            # Coulomb friction on the pre-solve velocity: scale the
+            # tangential relative velocity by max(0, 1 - mu |vn| / |vt|)
+            # (reference: CollisionObject friction response). Applied as a
+            # velocity target correction; the implicit solve keeps the
+            # node's tangential DoFs free but biased by v_bc.
+            nrm_f = c.normal(node_pos, t)
+            rel_v = grid_v - v_obj
+            vn = jnp.sum(rel_v * nrm_f, axis=-1)
+            vt = rel_v - vn[:, None] * nrm_f
+            vt_norm = jnp.linalg.norm(vt, axis=-1)
+            scale = jnp.maximum(
+                0.0, 1.0 - c.friction * jnp.maximum(-vn, 0.0)
+                / jnp.maximum(vt_norm, 1e-12)
+            )
+            v_bc_fric = v_obj + vt * scale[:, None]
+            # fully stuck (scale == 0): the node becomes sticky
+            stuck = active & (scale <= 0.0)
+            proj = jnp.where(stuck[:, None, None],
+                             jnp.zeros((n, d, d), dtype), proj)
+            v_bc_new = v_bc_fric
+        v_bc = jnp.where(active[:, None], v_bc_new, v_bc)
         constrained = jnp.logical_or(constrained, active)
 
     if boundary_margin > 0:
