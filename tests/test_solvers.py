@@ -80,15 +80,16 @@ def test_newton_on_rosenbrock_like(rng):
         d = x - x_star
         return A @ d * (1.0 + jnp.dot(d, d))
 
-    def hess_at(x):
+    # hessian "state" must be an array pytree (it rides the Newton carry)
+    def mult(x, w):
         d = x - x_star
         s = 1.0 + jnp.dot(d, d)
-        return lambda w: A @ w * s + A @ d * 2.0 * jnp.dot(d, w)
+        return A @ w * s + A @ d * 2.0 * jnp.dot(d, w)
 
     res = newton_solve(
         residual=grad,
-        build_hessian=lambda x: hess_at(x),
-        multiply=lambda h, w: h(w),
+        build_hessian=lambda x: x,
+        multiply=mult,
         project=lambda r: r,
         precondition=lambda h, r: r,
         cn_norm=lambda r: jnp.linalg.norm(r),
