@@ -1,0 +1,321 @@
+"""Fully sharded implicit MPM step: P2G, Newton solve, and G2P all under
+shard_map with explicit halo exchange.
+
+This is the stage-5 capability (SURVEY.md §7, BASELINE.json configs 4-5):
+grid x-planes slab-partitioned over mesh axis 'x'; particles live on the
+device owning their base plane and are re-partitioned globally between
+steps (they move). Inside shard_map everything is local + neighbor
+ppermute ghosts + psum reductions:
+
+  P2G   -> scatter into the extended slab, fold ghosts to owners
+  BC    -> evaluated at locally-reconstructed global node positions
+  Newton-> newton_solve(axis_name=...): CN norms, CG dots, and residual
+           norms psum so every device executes identical trip counts
+  G2P   -> exchange ghosts, gather locally
+
+Padding particle slots carry zero mass/volume and sit at their device's
+slab center, so they are exact no-ops everywhere. Verified identical to
+the single-device step on CPU-simulated meshes (tests/test_sharded_step.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hot_tpu.models import constitutive as cm
+from hot_tpu.models import plasticity as plast
+from hot_tpu.ops import transfer
+from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
+from hot_tpu.parallel.halo import exchange_halo, fold_halo
+from hot_tpu.sim import collision
+from hot_tpu.sim.state import ParticleState
+from hot_tpu.solver.newton import newton_solve
+from hot_tpu.utils.config import SimConfig
+
+HALO = 2
+
+
+class ShardedStepStats(NamedTuple):
+    newton_iters: jax.Array
+    cg_iters: jax.Array
+    cn_residual: jax.Array
+    converged: jax.Array
+    partition_overflow: jax.Array
+
+
+def _partition_state(state: ParticleState, dx, res, D: int, n_max: int):
+    """Global stage: particles -> (D, n_max) padded blocks + inverse map."""
+    planes = res[0] // D
+    base = jnp.floor(state.x[:, 0] / dx - 0.5).astype(jnp.int32)
+    base = jnp.clip(base, 0, res[0] - 1)
+    dev = jnp.clip(base // planes, 0, D - 1)
+    n = state.n
+
+    order = jnp.argsort(dev, stable=True)
+    dev_sorted = dev[order]
+    pos = jnp.arange(n) - jnp.searchsorted(dev_sorted, dev_sorted, side="left")
+    overflow = jnp.any(pos >= n_max)
+    slot_sorted = dev_sorted * n_max + jnp.minimum(pos, n_max - 1)
+    slot_sorted = jnp.where(pos < n_max, slot_sorted, D * n_max)
+    # slot of each ORIGINAL particle
+    slot_of = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.minimum(order, n - 1)
+    ].set(slot_sorted.astype(jnp.int32))[:n]
+
+    dim = state.dim
+    # per-device padding position: slab center (keeps local ids in range)
+    dev_ids = jnp.arange(D, dtype=state.x.dtype)
+    pad_x0 = (dev_ids * planes + planes * 0.5) * dx
+    pad_pos = jnp.stack(
+        [jnp.broadcast_to(pad_x0[:, None], (D, n_max))]
+        + [jnp.full((D, n_max), 0.5 * res[k] * dx, state.x.dtype)
+           for k in range(1, dim)],
+        axis=-1,
+    )
+
+    def fill(a, pad):
+        out = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(pad, a.dtype), (D * n_max,) + a.shape[1:]).reshape(D * n_max, *a.shape[1:]),
+             jnp.zeros((1,) + a.shape[1:], a.dtype)],
+            axis=0,
+        )
+        out = out.at[slot_of].set(a)
+        return out[:-1].reshape((D, n_max) + a.shape[1:])
+
+    eye = jnp.eye(dim, dtype=state.F.dtype)
+    x_f = fill(state.x, 0.0)
+    m_f = fill(state.m, 0.0)
+    blocks = ParticleState(
+        x=jnp.where((m_f > 0)[..., None], x_f, pad_pos),
+        v=fill(state.v, 0.0),
+        C=fill(state.C, 0.0),
+        F=fill(state.F, eye),
+        m=fill(state.m, 0.0),
+        V0=fill(state.V0, 0.0),
+        mu=fill(state.mu, 0.0),
+        lam=fill(state.lam, 0.0),
+        yield_stress=fill(state.yield_stress, jnp.inf),
+        Jp=fill(state.Jp, 1.0),
+    )
+    return blocks, slot_of, overflow
+
+
+def _unpartition(blocks: ParticleState, slot_of):
+    def pick(a):
+        flat = a.reshape((-1,) + a.shape[2:])
+        return flat[slot_of]
+
+    return jax.tree_util.tree_map(pick, blocks)
+
+
+def _local_positions(dev, planes, res, dx, dtype):
+    """Global positions of this slab's nodes, (local_nodes, dim)."""
+    dim = len(res)
+    rest_res = res[1:]
+    plane_nodes = 1
+    for r in rest_res:
+        plane_nodes *= int(r)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (planes, plane_nodes), 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (planes, plane_nodes), 1)
+    coords = [dev * planes + p_idx]
+    rem = r_idx
+    strides = []
+    s = 1
+    for r in reversed(rest_res):
+        strides.append(s)
+        s *= int(r)
+    strides = strides[::-1]
+    for k in range(dim - 1):
+        coords.append(rem // strides[k])
+        rem = rem - (rem // strides[k]) * strides[k]
+    pos = jnp.stack([c.reshape(-1).astype(dtype) * dx for c in coords], axis=-1)
+    return pos
+
+
+def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
+                      colliders: Sequence[collision.Collider], n_max: int,
+                      plasticity=None, axis: str = "x"):
+    """Build the jitted fully-sharded step: (state, dt, t) -> (state, stats)."""
+    D = mesh.shape[axis]
+    dim = cfg.dim
+    res = cfg.grid_res[:dim]
+    assert res[0] % D == 0
+    planes = res[0] // D
+    plane_nodes = 1
+    for r in res[1:]:
+        plane_nodes *= int(r)
+    local_nodes = planes * plane_nodes
+    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    dx = cfg.dx
+    sol = cfg.solver
+
+    def local_step(blocks, dt, t):
+        ps: ParticleState = jax.tree_util.tree_map(lambda a: a[0], blocks)
+        dev = jax.lax.axis_index(axis)
+        dtype = ps.x.dtype
+        gravity = jnp.asarray(cfg.gravity[:dim], dtype)
+
+        # ---- local stencil (ids into the EXTENDED slab) ------------------
+        base, w, dw = quadratic_bspline_weights(ps.x, dx)
+        wn, gwn = tensor_weights(w, dw)
+        offs = stencil_offsets(dim)
+        res_arr = jnp.asarray(res, jnp.int32)
+        coords = jnp.clip(base[:, None, :] + offs[None], 0, res_arr - 1)
+        lplane = coords[..., 0] - dev * planes + HALO
+        rest = jnp.zeros(coords.shape[:-1], jnp.int32)
+        strides = []
+        s = 1
+        for r in reversed(res[1:]):
+            strides.append(s)
+            s *= int(r)
+        strides = strides[::-1]
+        for k in range(dim - 1):
+            rest = rest + coords[..., k + 1] * strides[k]
+        lids = jnp.clip(lplane, 0, planes + 2 * HALO - 1) * plane_nodes + rest
+        rel = coords.astype(dtype) * dx - ps.x[:, None, :]
+        st = transfer.Stencil(node_ids=lids, wn=wn, gwn=gwn, rel=rel)
+
+        def scatter_fold(values):
+            ext = transfer.scatter_sum(st.node_ids, values, ext_nodes)
+            extp = ext.reshape((planes + 2 * HALO, plane_nodes) + ext.shape[1:])
+            return fold_halo(extp, axis, D, HALO).reshape(
+                (local_nodes,) + ext.shape[1:]
+            )
+
+        def gather_ext(v_local):
+            vp = v_local.reshape((planes, plane_nodes) + v_local.shape[1:])
+            ext = exchange_halo(vp, axis, D, HALO)
+            return ext.reshape((ext_nodes,) + v_local.shape[1:])
+
+        # ---- P2G ---------------------------------------------------------
+        affine_v = ps.v[:, None, :] + jnp.einsum("pij,pkj->pki", ps.C, st.rel)
+        mw = ps.m[:, None] * st.wn
+        grid_m = scatter_fold(mw)
+        grid_mv = scatter_fold(mw[:, :, None] * affine_v)
+        active = grid_m > 0
+        inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
+        v_grid = grid_mv * inv_m[:, None]
+        v_star = v_grid + dt * gravity[None, :]
+
+        # ---- BC ----------------------------------------------------------
+        node_pos = _local_positions(dev, planes, res, dx, dtype)
+        proj, v_bc, _ = collision.grid_boundary_conditions(
+            node_pos, t, colliders, grid_v=v_star, boundary_margin=2,
+            res=res, dx=dx,
+        )
+        v0 = collision.apply_bc_to_velocity(v_star, proj, v_bc)
+
+        # ---- objective closures (local + halo) ---------------------------
+        stiff = ps.V0 * (2.0 * ps.mu + ps.lam) / dx
+        f_char = scatter_fold(st.wn * stiff[:, None])
+        cn_scale = jnp.maximum(dt * f_char, grid_m * dx / dt)
+        cn_scale = jnp.where(active, cn_scale, 1.0)
+
+        def project_r(r):
+            r = jnp.einsum("nij,nj->ni", proj, r)
+            return jnp.where(active[:, None], r, 0.0)
+
+        def grad_of(v_local):
+            vi = gather_ext(v_local)[st.node_ids]
+            return jnp.einsum("pki,pkj->pij", vi, st.gwn)
+
+        def linearize(v_local):
+            F_new = (jnp.eye(dim, dtype=dtype)[None] + dt * grad_of(v_local)) @ ps.F
+            Pstress, ctx = jax.vmap(
+                lambda f, m_, l_: cm.stress_and_hessian(
+                    model, f, m_, l_, project=sol.project_hessian
+                )
+            )(F_new, ps.mu, ps.lam)
+            PFt = Pstress @ jnp.swapaxes(ps.F, -1, -2)
+            contrib = -jnp.einsum("p,pij,pkj->pki", ps.V0, PFt, st.gwn)
+            f = scatter_fold(contrib)
+            r = grid_m[:, None] * (v_local - v_star) - dt * f
+            return project_r(r), ctx
+
+        def multiply(ctx, w_local):
+            dF = dt * (grad_of(w_local) @ ps.F)
+            dP = jax.vmap(cm.apply_hessian)(ctx, dF)
+            dPFt = dP @ jnp.swapaxes(ps.F, -1, -2)
+            contrib = -jnp.einsum("p,pij,pkj->pki", ps.V0, dPFt, st.gwn)
+            df = scatter_fold(contrib)
+            out = grid_m[:, None] * w_local - dt * df
+            return jnp.where(active[:, None], out, w_local)
+
+        def cn_norm(r):
+            scaled = r / cn_scale[:, None]
+            num = jax.lax.psum(jnp.sum(scaled * scaled), axis)
+            den = jax.lax.psum(jnp.sum(active), axis)
+            return jnp.sqrt(num / jnp.maximum(den, 1).astype(r.dtype))
+
+        result = newton_solve(
+            linearize=linearize,
+            multiply=multiply,
+            project=project_r,
+            precondition=lambda _, r: jnp.where(
+                active[:, None], r * inv_m[:, None], r
+            ),
+            build_preconditioner=lambda hess: None,
+            cn_norm=cn_norm,
+            v0=v0,
+            max_newton=sol.max_newton,
+            cn_eps=sol.cn_eps if sol.use_cn else 0.0,
+            abs_tol=sol.abs_tol,
+            cg_tol=sol.cg_tol,
+            max_cg=sol.max_cg,
+            adaptive_forcing=sol.adaptive_forcing,
+            axis_name=axis,
+        )
+        v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
+
+        # ---- G2P + update ------------------------------------------------
+        vi = gather_ext(v_new)[st.node_ids]
+        v_pic = jnp.sum(st.wn[:, :, None] * vi, axis=1)
+        grad_v = jnp.einsum("pki,pkj->pij", vi, st.gwn)
+        C_new = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (4.0 / (dx * dx))
+        F_new = (jnp.eye(dim, dtype=dtype)[None] + dt * grad_v) @ ps.F
+        if plasticity == "von_mises":
+            F_new = jax.vmap(plast.VonMisesHencky.project)(
+                F_new, ps.mu, ps.lam, ps.yield_stress
+            )
+        x_new = ps.x + dt * v_pic
+        lo = 2.0 * dx
+        hi = (jnp.asarray(res, dtype) - 3.0) * dx
+        x_new = jnp.clip(x_new, lo, hi[None, :])
+        # padding rows (m == 0): freeze them at their pad position
+        is_pad = ps.m <= 0
+        x_new = jnp.where(is_pad[:, None], ps.x, x_new)
+        v_out = jnp.where(is_pad[:, None], 0.0, v_pic)
+
+        out = ps.replace(x=x_new, v=v_out, C=C_new, F=F_new)
+        out = jax.tree_util.tree_map(lambda a: a[None], out)
+        stats = ShardedStepStats(
+            newton_iters=result.iters,
+            cg_iters=result.cg_iters,
+            cn_residual=result.cn_residual,
+            converged=result.converged,
+            partition_overflow=jnp.zeros((), bool),
+        )
+        return out, stats
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P()),
+    )
+
+    @jax.jit
+    def step(state: ParticleState, dt, t):
+        with jax.default_matmul_precision("highest"):
+            blocks, slot_of, overflow = _partition_state(state, dx, res, D, n_max)
+            new_blocks, stats = sharded(blocks, dt, t)
+            new_state = _unpartition(new_blocks, slot_of)
+            stats = stats._replace(partition_overflow=overflow)
+            return new_state, stats
+
+    return step

@@ -108,6 +108,7 @@ def minres_solve(
     tol: float = 1e-3,
     abs_tol: float = 0.0,
     max_iters: int = 200,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Conjugate-Residual iteration (MINRES-equivalent for symmetric A).
 
@@ -119,12 +120,15 @@ def minres_solve(
     precondition = precondition or _identity
     project = project or _identity
 
+    def dot(a, b_):
+        return _dot(a, b_, axis_name)
+
     if x0 is None:
         x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = project(_sub(b, multiply(x0)))
     z0 = project(precondition(r0))
     Az0 = project(multiply(z0))
-    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    rnorm0 = jnp.sqrt(dot(r0, r0))
     threshold = jnp.maximum(tol * rnorm0, abs_tol)
 
     def cond(carry):
@@ -133,18 +137,18 @@ def minres_solve(
 
     def body(carry):
         x, r, z, Az, p, Ap, k, _ = carry
-        zAz = _dot(z, Az)  # actually r·Az with z = M^-1 r; kept name for CR
-        ApAp = _dot(Ap, Ap)
+        zAz = dot(z, Az)  # actually r·Az with z = M^-1 r; kept name for CR
+        ApAp = dot(Ap, Ap)
         alpha = jnp.where(jnp.abs(ApAp) > 0, zAz / jnp.where(ApAp == 0, 1.0, ApAp), 0.0)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, Ap, r)
         z_new = project(precondition(r))
         Az_new = project(multiply(z_new))
-        zAz_new = _dot(z_new, Az_new)
+        zAz_new = dot(z_new, Az_new)
         beta = zAz_new / jnp.where(zAz == 0, 1.0, zAz)
         p = _axpy(beta, p, z_new)
         Ap = _axpy(beta, Ap, Az_new)
-        return (x, r, z_new, Az_new, p, Ap, k + 1, jnp.sqrt(_dot(r, r)))
+        return (x, r, z_new, Az_new, p, Ap, k + 1, jnp.sqrt(dot(r, r)))
 
     x, r, _, _, _, _, k, rnorm = jax.lax.while_loop(
         cond, body, (x0, r0, z0, Az0, z0, Az0, jnp.zeros((), jnp.int32), rnorm0)

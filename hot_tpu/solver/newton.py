@@ -61,6 +61,9 @@ def newton_solve(
     linearize: Callable = None,   # v -> (r, hess); overrides residual +
                                   # build_hessian with a fused evaluation
                                   # (one SVD chain per Newton iteration)
+    axis_name: str = None,        # set under shard_map: residual norms and
+                                  # CG dots psum across the mesh so every
+                                  # device takes identical trip counts
 ) -> NewtonResult:
     """Run the inexact Newton loop. All arguments with shapes are traced.
 
@@ -74,12 +77,18 @@ def newton_solve(
         assert residual is not None and build_hessian is not None
         linearize = lambda v: (residual(v), build_hessian(v))
 
+    def sq_norm(r):
+        s = jnp.sum(r * r)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        return s
+
     r0, hess0 = linearize(v0)
     cn0 = cn_norm(r0)
 
     def cond(carry):
         v, r, hess, cn, k, cg_total, hist = carry
-        not_conv = jnp.logical_and(cn > cn_eps, jnp.sqrt(jnp.sum(r * r)) > abs_tol)
+        not_conv = jnp.logical_and(cn > cn_eps, jnp.sqrt(sq_norm(r)) > abs_tol)
         return jnp.logical_and(k < max_newton, not_conv)
 
     def body(carry):
@@ -97,10 +106,13 @@ def newton_solve(
             project=project,
             tol=eta,
             max_iters=max_cg,
+            axis_name=axis_name,
         )
         if line_search and energy is not None:
             E0 = energy(v)
             slope = jnp.sum(r * res.x)  # directional derivative (r = grad E)
+            if axis_name is not None:
+                slope = jax.lax.psum(slope, axis_name)
 
             def ls_cond(carry):
                 alpha, j = carry

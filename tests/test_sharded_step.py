@@ -1,0 +1,55 @@
+"""Fully-sharded step tests: the shard_map P2G+Newton+G2P pipeline must
+reproduce the single-device step on CPU-simulated meshes (configs 4-5
+partitioned-grid correctness, BASELINE.json:10).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hot_tpu.parallel.mesh import make_mesh
+from hot_tpu.parallel.sharded_step import make_sharded_step
+from hot_tpu.scenes import build_scene
+from hot_tpu.sim import Simulation
+from hot_tpu.sim.simulation import advance_one_step
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_step_matches_single_device(n_devices):
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    cfg = scene["cfg"]
+
+    # single-device trajectory
+    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    n_steps = 60  # through impact
+    for _ in range(n_steps):
+        sim.step(4e-3)
+    ref = jax.tree_util.tree_map(np.asarray, sim.state)
+    ref_cg = sum(r["cg_iters"] for r in sim.metrics.records)
+    ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
+
+    # sharded trajectory
+    mesh = make_mesh((n_devices,), ("x",))
+    step = make_sharded_step(
+        mesh, cfg, scene["model"], scene["colliders"],
+        n_max=scene["state"].n,  # worst case: everything on one slab
+    )
+    state = scene["state"]
+    tot_newton = tot_cg = 0
+    t = 0.0
+    for _ in range(n_steps):
+        state, stats = step(state, jnp.float64(4e-3), jnp.float64(t))
+        assert not bool(stats.partition_overflow)
+        assert bool(stats.converged)
+        tot_newton += int(stats.newton_iters)
+        tot_cg += int(stats.cg_iters)
+        t += 4e-3
+
+    assert tot_newton == ref_newton, (tot_newton, ref_newton)
+    assert abs(tot_cg - ref_cg) <= 2, (tot_cg, ref_cg)
+    np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), ref.v, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.F), ref.F, atol=1e-8)
