@@ -192,6 +192,42 @@ def spmv(mat: BsrMatrix, x):
     return jnp.einsum("rkij,rkj->ri", mat.vals, xg)
 
 
+def spmv_windowed(mat: BsrMatrix, x_grid):
+    """y = A x with x given as the DENSE grid vector (n_nodes, d).
+
+    Latency-friendly gather shape for TPU: build the K-offset neighbor
+    window with STATIC shifted slices of the dense grid (regular), then
+    ONE big-row gather per matrix row — instead of n_rows*K tiny-row
+    gathers (measured ~4x faster on the round-1 device; cf.
+    docs/KERNEL_PLAN.md). Equivalent to spmv(mat, rows(x)) because
+    out-of-structure offsets carry zero blocks.
+    """
+    import numpy as _np
+
+    d = mat.dim
+    res = mat.res
+    K = mat.K
+    half = mat.half
+    n_nodes = transfer.n_nodes_of(res)
+    xg = x_grid.reshape(tuple(res) + (d,))
+    rng = _np.arange(-half, half + 1)
+    offs = _np.stack(_np.meshgrid(*([rng] * d), indexing="ij"), -1).reshape(-1, d)
+    win = []
+    for k in range(K):
+        off = offs[k]
+        # neighbor value at node c is x[c + off]: shift by -off with zero pad
+        src = xg[tuple(
+            slice(max(0, o), r + min(0, o)) for o, r in zip(off, res)
+        )]
+        pad = [(max(0, -int(o)), max(0, int(o))) for o in off] + [(0, 0)]
+        win.append(jnp.pad(src, pad))
+    W = jnp.stack(win, axis=-2).reshape(n_nodes, K, d)     # (n_nodes, K, d)
+    rows = jnp.minimum(mat.node_of, n_nodes - 1)
+    xw = W[rows]                                           # one big-row gather
+    xw = jnp.where((mat.node_of < n_nodes)[:, None, None], xw, 0.0)
+    return jnp.einsum("rkij,rkj->ri", mat.vals, xw)
+
+
 def spmm(mat: BsrMatrix, X):
     """Y = A X for multi-RHS X: (n_rows, d, m) (SpMM, BASELINE.json:2)."""
     safe_cols = jnp.maximum(mat.col_row, 0)

@@ -61,6 +61,15 @@ def test_bsr_symmetry():
     assert w.min() > -1e-8
 
 
+def test_spmv_windowed_matches(rng):
+    mat, obj, hess, state, gm, active, n_nodes = _setup()
+    x_grid = jnp.asarray(rng.standard_normal((n_nodes, 2)))
+    x_rows = bsr.grid_vector_to_rows(mat, x_grid)
+    want = bsr.spmv(mat, x_rows)
+    got = bsr.spmv_windowed(mat, x_grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
 def test_bsr_spmm_consistent(rng):
     mat, obj, hess, state, gm, active, n_nodes = _setup()
     m = 4
