@@ -155,17 +155,6 @@ def main():
     jax.block_until_ready(y)
     t_spmv = best_trial(lambda y: spmv_fn(mat, y), y)
     _mark(f"spmv best {t_spmv * 1e3:.3f} ms")
-    # windowed variant (static shifts + one big-row gather)
-    spmw_fn = jax.jit(
-        lambda m_, yr: bsr_mod.spmv_windowed(
-            m_, bsr_mod.rows_to_grid_vector(m_, yr, n_nodes)
-        )
-    )
-    yw = spmw_fn(mat, y)
-    jax.block_until_ready(yw)
-    t_spmw = best_trial(lambda yr: spmw_fn(mat, yr), yw)
-    _mark(f"spmv windowed best {t_spmw * 1e3:.3f} ms")
-    t_spmv = min(t_spmv, t_spmw)
 
     nnz = block_nnz * dim * dim
     nnz_per_s = nnz / t_spmv

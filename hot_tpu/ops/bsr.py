@@ -198,9 +198,13 @@ def spmv_windowed(mat: BsrMatrix, x_grid):
     Latency-friendly gather shape for TPU: build the K-offset neighbor
     window with STATIC shifted slices of the dense grid (regular), then
     ONE big-row gather per matrix row — instead of n_rows*K tiny-row
-    gathers (measured ~4x faster on the round-1 device; cf.
-    docs/KERNEL_PLAN.md). Equivalent to spmv(mat, rows(x)) because
-    out-of-structure offsets carry zero blocks.
+    gathers. Equivalent to spmv(mat, rows(x)) because out-of-structure
+    offsets carry zero blocks.
+
+    CAUTION: materializes the (n_nodes, K, d) window — XLA's fusion of the
+    window into the einsum exceeded HBM at 64^3/K=125 on the round-1
+    device. Use for small grids / 2D; the Pallas SpMV (round 2) is the
+    production path.
     """
     import numpy as _np
 
