@@ -17,6 +17,30 @@ from hot_tpu.sim import Simulation
 from hot_tpu.sim.simulation import advance_one_step
 
 
+def test_sharded_step_3d_matches_single_device():
+    scene = build_scene("twisting_bar_3d", res=16, ppc=2)
+    cfg = scene["cfg"]
+    step_ref = jax.jit(
+        functools.partial(
+            advance_one_step, cfg=cfg, model=scene["model"],
+            colliders=scene["colliders"], plasticity=None,
+        )
+    )
+    mesh = make_mesh((4,), ("x",))
+    step_sh = make_sharded_step(
+        mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
+    )
+    s_ref = s_sh = scene["state"]
+    t = 0.0
+    for _ in range(5):
+        s_ref, st_ref = step_ref(s_ref, jnp.float32(1e-3), jnp.float32(t))
+        s_sh, st_sh = step_sh(s_sh, jnp.float32(1e-3), jnp.float32(t))
+        t += 1e-3
+        assert int(st_sh.newton_iters) == int(st_ref.newton_iters)
+    np.testing.assert_allclose(np.asarray(s_sh.x), np.asarray(s_ref.x), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s_sh.F), np.asarray(s_ref.F), atol=2e-5)
+
+
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_sharded_step_matches_single_device(n_devices):
     scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
