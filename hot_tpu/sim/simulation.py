@@ -383,6 +383,7 @@ class Simulation:
         self.timer = PhaseTimer()
         self.t = 0.0
         self.step_count = 0
+        self.retry_count = 0
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -426,10 +427,25 @@ class Simulation:
         return float(min(self.cfg.max_dt, max(self.cfg.min_dt, dt_cfl)))
 
     def step(self, dt: Optional[float] = None) -> StepStats:
+        """One time step with failure sentinels (SURVEY.md §5.3): if the
+        Newton solve diverges or the state goes non-finite, the step is
+        retried from the saved state at halved dt (scientifically necessary
+        at CFL-rate stepping; also the recovery path for fault injection)."""
         dt = self.compute_dt() if dt is None else dt
-        with self.timer.scope("advance_one_step"):
-            self.state, stats = self._step(self.state, dt, self.t)
-            jax.block_until_ready(self.state.x)
+        prev_state = self.state
+        for attempt in range(self.cfg.solver.dt_retries + 1):
+            with self.timer.scope("advance_one_step"):
+                new_state, stats = self._step(prev_state, dt, self.t)
+                jax.block_until_ready(new_state.x)
+            finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
+                jnp.all(jnp.isfinite(new_state.x))
+            )
+            if finite and (bool(stats.converged) or attempt == self.cfg.solver.dt_retries):
+                break
+            dt = dt * 0.5
+            self.retry_count += 1
+            self.metrics.log(event="dt_retry", attempt=attempt + 1, dt=dt)
+        self.state = new_state
         if bool(stats.grid_overflow):
             raise RuntimeError(
                 f"sparse tile capacity exceeded ({int(stats.active_tiles)} of "

@@ -69,6 +69,9 @@ class SolverConfig:
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0
     line_search: bool = False       # optional backtracking (off, like HOT at CFL dt)
+    # Failure handling (SURVEY.md §5.3): on non-convergence or non-finite
+    # state, retry the step with halved dt up to this many times.
+    dt_retries: int = 3
     project_hessian: bool = True    # SPD projection of per-particle dP/dF
     multigrid: MultigridConfig = field(default_factory=MultigridConfig)
 
