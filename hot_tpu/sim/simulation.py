@@ -166,9 +166,6 @@ def _advance_one_step_impl(
             return r, (hess, None)
     else:
         lin = None
-    if sol.matrix_free:
-        pass
-    else:
         from hot_tpu.ops import bsr as bsr_mod
 
         if cfg.grid_backend == "sparse":
