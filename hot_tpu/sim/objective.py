@@ -122,10 +122,31 @@ def build_hessian(model, obj: ObjectiveContext, v, project_spd: bool = True,
 
 def linearize(model, obj: ObjectiveContext, v, project_spd: bool = True,
               scatter=transfer.default_scatter,
-              gather_st=transfer.default_gather_stencil):
+              gather_st=transfer.default_gather_stencil,
+              fused: bool = False):
     """(residual, HessianState) at v with ONE SVD per particle — the
     per-Newton-iteration evaluation (saves a full per-particle SVD chain
-    versus calling residual + build_hessian separately)."""
+    versus calling residual + build_hessian separately).
+
+    fused=True runs the whole per-particle chain (grad -> F_new -> SVD ->
+    model derivatives -> SPD projection -> stress contributions) in the
+    Pallas kernel ops.pallas_linearize (supported models only)."""
+    from hot_tpu.ops.pallas_linearize import _MODEL_DERIVS
+
+    if fused and model.name in _MODEL_DERIVS:
+        from hot_tpu.ops.pallas_linearize import fused_linearize
+
+        vi = gather_st(obj.stencil, v)
+        contrib, U, Vm, A, bp, bm = fused_linearize(
+            vi, obj.stencil.gwn, obj.F_n, obj.mu, obj.lam, obj.V0, obj.dt,
+            model_name=model.name, project=project_spd,
+        )
+        f = scatter(obj.stencil, contrib, obj.grid_m.shape[0])
+        r = obj.grid_m[:, None] * (v - obj.v_star) - obj.dt * f
+        ctx = cm.HessianContext(U=U, V=Vm, A=A, b_plus=bp, b_minus=bm)
+        # F_new is not consumed in the CG loop; omit it from the carry
+        return project(obj, r), HessianState(ctx=ctx, F_new=None)
+
     F_new = updated_F(obj, v, gather_st=gather_st)
     P, ctx = jax.vmap(
         lambda f, m_, l_: cm.stress_and_hessian(model, f, m_, l_, project=project_spd)

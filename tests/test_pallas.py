@@ -15,6 +15,87 @@ from hot_tpu.scenes import build_scene
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+def test_tile_svd_matches_svd(rng, dim):
+    """The kernel's unrolled tile-SVD == ops.svd (same algorithm), tested
+    as plain jnp on component arrays (no interpreter overhead)."""
+    from hot_tpu.ops.pallas_linearize import _svd_tiles
+    from hot_tpu.ops.svd import svd
+
+    n = 500
+    F = jnp.asarray(rng.standard_normal((n, dim, dim)), jnp.float32)
+    Ftiles = [[F[:, i, j] for j in range(dim)] for i in range(dim)]
+    U_t, s_t, V_t = _svd_tiles(Ftiles, dim, 6, jnp.float32)
+    U, s, V = jax.vmap(svd)(F)
+    U_k = jnp.stack([jnp.stack(r, -1) for r in U_t], -2)
+    V_k = jnp.stack([jnp.stack(r, -1) for r in V_t], -2)
+    s_k = jnp.stack(s_t, -1)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(U_k), np.asarray(U), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(V_k), np.asarray(V), atol=2e-4)
+
+
+@pytest.mark.parametrize("model_name", ["fixed_corotated", "stvk_hencky"])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_tile_model_derivs(rng, dim, model_name):
+    """Analytic componentwise psi_hat derivatives == autodiff."""
+    from hot_tpu.models.constitutive import MODEL_REGISTRY
+    from hot_tpu.ops.pallas_linearize import _MODEL_DERIVS
+
+    model = MODEL_REGISTRY[model_name]
+    n = 200
+    sig = jnp.asarray(rng.uniform(0.5, 1.8, (n, dim)), jnp.float32)
+    mu = jnp.full((n,), 3846.15, jnp.float32)
+    lam = jnp.full((n,), 5769.23, jnp.float32)
+    g_t, A_t = _MODEL_DERIVS[model_name](
+        [sig[:, i] for i in range(dim)], mu, lam, dim
+    )
+    g_k = jnp.stack(g_t, -1)
+    A_k = jnp.stack([jnp.stack(r, -1) for r in A_t], -2)
+    g_ref = jax.vmap(jax.grad(model.psi_hat))(sig, mu, lam)
+    A_ref = jax.vmap(jax.jacfwd(jax.grad(model.psi_hat)))(sig, mu, lam)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_ref),
+                               rtol=2e-3, atol=5e-1)
+
+
+def test_fused_linearize_interpret_small(rng):
+    """End-to-end kernel glue in interpret mode (small n, 2D)."""
+    from hot_tpu.models.constitutive import MODEL_REGISTRY
+    from hot_tpu.ops.pallas_linearize import fused_linearize
+
+    model = MODEL_REGISTRY["fixed_corotated"]
+    n, dim, s = 48, 2, 9
+    dt = jnp.float32(2e-3)
+    F = (jnp.eye(dim)[None] + 0.2 * jnp.asarray(
+        rng.standard_normal((n, dim, dim))
+    )).astype(jnp.float32)
+    mu = jnp.full((n,), 3846.15, jnp.float32)
+    lam = jnp.full((n,), 5769.23, jnp.float32)
+    V0 = jnp.full((n,), 1e-4, jnp.float32)
+    vi = jnp.asarray(rng.standard_normal((n, s, dim)) * 0.3, jnp.float32)
+    gwn = jnp.asarray(rng.standard_normal((n, s, dim)), jnp.float32)
+
+    grad_w = jnp.einsum("pki,pkj->pij", vi, gwn)
+    F_new = (jnp.eye(dim)[None] + dt * grad_w) @ F
+    P, ctx = jax.vmap(
+        lambda f, m_, l_: cm.stress_and_hessian(model, f, m_, l_)
+    )(F_new, mu, lam)
+    PFt = P @ jnp.swapaxes(F, -1, -2)
+    want = -jnp.einsum("p,pij,pkj->pki", V0, PFt, gwn)
+
+    contrib, U, V, A, bp, bm = fused_linearize(
+        vi, gwn, F, mu, lam, V0, dt, model_name="fixed_corotated",
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(contrib), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ctx.U), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(ctx.A),
+                               rtol=2e-3, atol=2e-1)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
 def test_fused_contrib_matches_xla_chain(rng, dim):
     if dim == 3:
         scene = build_scene("twisting_bar_3d", res=16, ppc=2)
