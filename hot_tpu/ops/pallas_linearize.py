@@ -62,13 +62,22 @@ def _load_mat(ref, d):
 
 
 def _jacobi_cs(app, aqq, apq, dtype):
+    """Algebraic Jacobi rotation (no atan2 — Mosaic TPU has no lowering):
+    tau = (aqq - app)/(2 apq); t = sign(tau)/(|tau| + sqrt(1 + tau^2));
+    c = 1/sqrt(1+t^2), s = t c. Exactly annihilates the off-diagonal,
+    |theta| <= pi/4."""
     tiny = jnp.asarray(1e-20 if dtype == jnp.float32 else 1e-30, dtype)
     small = jnp.abs(apq) < tiny
     apq_s = jnp.where(small, jnp.ones_like(apq), apq)
-    diff_s = jnp.where(small, jnp.ones_like(apq), app - aqq)
-    theta = jnp.where(small, jnp.zeros_like(apq),
-                      0.5 * jnp.arctan2(2.0 * apq_s, diff_s))
-    return jnp.cos(theta), jnp.sin(theta)
+    # for G = [[c, -s], [s, c]] applied as G^T S G (G&VL use the transpose)
+    tau = (app - aqq) / (2.0 * apq_s)
+    sign_tau = jnp.where(tau >= 0, 1.0, -1.0).astype(dtype)
+    t = sign_tau / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    c = jax.lax.rsqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(small, jnp.ones_like(c), c)
+    s = jnp.where(small, jnp.zeros_like(s), s)
+    return c, s
 
 
 def _givens_cs(a, b, dtype):
