@@ -162,7 +162,7 @@ def _advance_one_step_impl(
             r, hess = obj_mod.linearize(
                 model, objective, v, project_spd=sol.project_hessian,
                 scatter=scatter, gather_st=gather_st,
-                fused=sol.pallas_apply,
+                fused=sol.pallas_linearize,
             )
             return r, (hess, None)
     else:

@@ -65,6 +65,10 @@ class SolverConfig:
     # Route the per-particle Hessian-apply chain through the Pallas fused
     # kernel (ops.pallas_apply). Requires a TPU (or interpret mode).
     pallas_apply: bool = False
+    # EXPERIMENTAL: fused Newton linearization kernel (ops.pallas_linearize).
+    # Known fp32 precision loss at near-degenerate singular values on TPU —
+    # see docs/KERNEL_PLAN.md before enabling.
+    pallas_linearize: bool = False
     # static row capacity for the explicit BSR matrix (matrix_free=False);
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0
