@@ -45,6 +45,32 @@ def lame_parameters(E, nu):
     return mu, lam
 
 
+def _hybrid_bm(sigma, g, closed):
+    """Select the pair quotient (g_i - g_j)/(s_i - s_j) per pair:
+
+    * singular values well separated -> direct quotient (no cancellation;
+      also the only branch that is correct where the energy's sigma clamp
+      is active, i.e. near/through inversion);
+    * nearly repeated -> the model's analytically-cancelled closed form
+      (`closed`), which is where the direct quotient is 0/0;
+    * nearly repeated AND both below the clamp (deep inversion): the energy
+      is locally constant in both sigmas -> quotient is 0.
+    """
+    d = sigma.shape[-1]
+    out = []
+    for k, (i, j) in enumerate(_pairs(d)):
+        delta = sigma[i] - sigma[j]
+        scale = jnp.abs(sigma[i]) + jnp.abs(sigma[j]) + 1.0
+        well_sep = jnp.abs(delta) > 1e-3 * scale
+        delta_safe = jnp.where(well_sep, delta, 1.0)
+        direct = (g[i] - g[j]) / delta_safe
+        smooth = jnp.minimum(sigma[i], sigma[j]) > 2e-6
+        out.append(
+            jnp.where(well_sep, direct, jnp.where(smooth, closed[k], 0.0))
+        )
+    return jnp.stack(out)
+
+
 # ---------------------------------------------------------------------------
 # Model definitions: psi_hat(sigma) per model
 # ---------------------------------------------------------------------------
@@ -64,6 +90,24 @@ class FixedCorotated:
         J = jnp.prod(sigma)
         return mu * jnp.sum((sigma - 1.0) ** 2) + 0.5 * lam * (J - 1.0) ** 2
 
+    @staticmethod
+    def bm_hat(sigma, g, mu, lam):
+        """Exact (g_i - g_j)/(s_i - s_j) per pair — the difference quotient
+        cancels algebraically, so there is NO division by (s_i - s_j):
+          3D pair (i, j): 2 mu - lam (J - 1) s_k   (k the third axis)
+          2D:             2 mu - lam (J - 1)
+        Exact for ALL sigma (the energy has no clamp), including the
+        s_i == s_j limit that dominates near-rest states, where the naive
+        quotient is 0/0."""
+        J = jnp.prod(sigma)
+        if sigma.shape[-1] == 2:
+            return jnp.stack([2.0 * mu - lam * (J - 1.0)])
+        return jnp.stack([
+            2.0 * mu - lam * (J - 1.0) * sigma[2],
+            2.0 * mu - lam * (J - 1.0) * sigma[1],
+            2.0 * mu - lam * (J - 1.0) * sigma[0],
+        ])
+
 
 class NeoHookean:
     """Neo-Hookean (log-J form): Psi = mu/2 (tr(F^T F) - d) - mu log J + lam/2 log^2 J.
@@ -80,6 +124,21 @@ class NeoHookean:
         logJ = jnp.sum(jnp.log(s))
         return 0.5 * mu * (jnp.sum(s * s) - s.shape[-1]) - mu * logJ + 0.5 * lam * logJ**2
 
+    @staticmethod
+    def bm_hat(sigma, g, mu, lam):
+        """Difference quotient (g_i - g_j)/(s_i - s_j), stable everywhere:
+        in the smooth (unclamped) branch it cancels algebraically to
+        mu + (mu - lam logJ)/(s_i s_j); near/through inversion (sigma at the
+        1e-6 energy clamp, where that premise fails) the singular values are
+        well separated from their positive partners, so the direct quotient
+        is used — see _hybrid_bm."""
+        s = jnp.maximum(sigma, 1e-6)
+        logJ = jnp.sum(jnp.log(s))
+        closed = jnp.stack(
+            [mu + (mu - lam * logJ) / (s[i] * s[j]) for (i, j) in _pairs(s.shape[-1])]
+        )
+        return _hybrid_bm(sigma, g, closed)
+
 
 class StvkHencky:
     """St. Venant-Kirchhoff with Hencky strain: Psi = mu ||log S||^2 + lam/2 tr(log S)^2.
@@ -95,6 +154,33 @@ class StvkHencky:
         eps = jnp.log(jnp.maximum(sigma, 1e-6))
         return mu * jnp.sum(eps * eps) + 0.5 * lam * jnp.sum(eps) ** 2
 
+    @staticmethod
+    def bm_hat(sigma, g, mu, lam):
+        """Difference quotient via the log difference quotient
+        L = (log s_i - log s_j)/(s_i - s_j) = 2 atanh(z)/(s_i + s_j),
+        z = (s_i - s_j)/(s_i + s_j); atanh(z)/z evaluated by series for
+        small z (no 0/0 anywhere):
+          (g_i - g_j)/(s_i - s_j) = (2 mu (s_j L - log s_j) - lam tr)/(s_i s_j).
+        Valid in the smooth branch; the clamped branch (near inversion) is
+        routed to the direct quotient by _hybrid_bm."""
+        s = jnp.maximum(sigma, 1e-6)
+        tr = jnp.sum(jnp.log(s))
+        out = []
+        for (i, j) in _pairs(s.shape[-1]):
+            si, sj = s[i], s[j]
+            z = (si - sj) / (si + sj)
+            small = jnp.abs(z) < 1e-4
+            z_safe = jnp.where(small, 1.0, z)
+            # atanh(z)/z: log form for the general case, series near 0
+            atz = jnp.where(
+                small,
+                1.0 + z * z / 3.0,
+                jnp.log((1.0 + z_safe) / (1.0 - z_safe)) / (2.0 * z_safe),
+            )
+            L = 2.0 / (si + sj) * atz
+            out.append((2.0 * mu * (sj * L - jnp.log(sj)) - lam * tr) / (si * sj))
+        return _hybrid_bm(sigma, g, jnp.stack(out))
+
 
 class LinearCorotated:
     """Linear elasticity in diagonal space (small-strain; for tests/debugging).
@@ -108,6 +194,11 @@ class LinearCorotated:
     def psi_hat(sigma, mu, lam):
         e = sigma - 1.0
         return mu * jnp.sum(e * e) + 0.5 * lam * jnp.sum(e) ** 2
+
+    @staticmethod
+    def bm_hat(sigma, g, mu, lam):
+        n_pairs = 1 if sigma.shape[-1] == 2 else 3
+        return jnp.broadcast_to(2.0 * mu, (n_pairs,)).astype(sigma.dtype)
 
 
 MODEL_REGISTRY = {
@@ -152,6 +243,34 @@ def _pairs(d: int):
     return [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
 
 
+def _pair_eigenvalues(model, sigma, g, mu, lam, dtype):
+    """(b_plus, b_minus) per off-diagonal pair.
+
+    b_minus = (g_i - g_j)/(s_i - s_j) is 0/0 at repeated singular values —
+    i.e. at EVERY near-rest particle — so models provide the analytically
+    cancelled closed form `bm_hat` (exact; no division by s_i - s_j).
+    b_plus's denominator s_i + s_j only degenerates under total collapse;
+    a sign-preserving clamped division suffices there.
+    """
+    d = sigma.shape[-1]
+    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+
+    def safe_div(num, den):
+        mag = jnp.maximum(jnp.abs(den), eps)
+        return num * jnp.where(den >= 0, 1.0, -1.0).astype(dtype) / mag
+
+    b_plus = jnp.stack(
+        [safe_div(g[i] + g[j], sigma[i] + sigma[j]) for (i, j) in _pairs(d)]
+    )
+    if hasattr(model, "bm_hat"):
+        b_minus = model.bm_hat(sigma, g, mu, lam).astype(dtype)
+    else:
+        b_minus = jnp.stack(
+            [safe_div(g[i] - g[j], sigma[i] - sigma[j]) for (i, j) in _pairs(d)]
+        )
+    return b_plus, b_minus
+
+
 def hessian_context(model, F, mu, lam, project: bool = True):
     """Build the diagonal-space Hessian context for one particle.
 
@@ -159,26 +278,11 @@ def hessian_context(model, F, mu, lam, project: bool = True):
     shear-pair eigenvalue is clamped to >= 0, yielding the SPD-projected
     dP/dF the reference uses for Newton (SvdBasedIsotropicHelper).
     """
-    d = F.shape[-1]
-    dtype = F.dtype
     U, sigma, V = svd(F)
     g = jax.grad(model.psi_hat)(sigma, mu, lam)
     A = jax.jacfwd(jax.grad(model.psi_hat))(sigma, mu, lam)
     A = 0.5 * (A + A.T)
-
-    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
-
-    def safe_div(num, den):
-        mag = jnp.maximum(jnp.abs(den), eps)
-        return num * jnp.where(den >= 0, 1.0, -1.0).astype(dtype) / mag
-
-    b_plus = []
-    b_minus = []
-    for (i, j) in _pairs(d):
-        b_plus.append(safe_div(g[i] + g[j], sigma[i] + sigma[j]))
-        b_minus.append(safe_div(g[i] - g[j], sigma[i] - sigma[j]))
-    b_plus = jnp.stack(b_plus)
-    b_minus = jnp.stack(b_minus)
+    b_plus, b_minus = _pair_eigenvalues(model, sigma, g, mu, lam, F.dtype)
 
     if project:
         w, Q = eigh_sym(A)
@@ -193,27 +297,12 @@ def stress_and_hessian(model, F, mu, lam, project: bool = True):
     """(P(F), HessianContext) sharing ONE SVD — the per-Newton-iteration
     linearization (reference: FBasedMpmForceHelper::updateState computing
     stress and dPdF together, component #27)."""
-    d = F.shape[-1]
-    dtype = F.dtype
     U, sigma, V = svd(F)
     g = jax.grad(model.psi_hat)(sigma, mu, lam)
     P = (U * g[None, :]) @ V.T
     A = jax.jacfwd(jax.grad(model.psi_hat))(sigma, mu, lam)
     A = 0.5 * (A + A.T)
-
-    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
-
-    def safe_div(num, den):
-        mag = jnp.maximum(jnp.abs(den), eps)
-        return num * jnp.where(den >= 0, 1.0, -1.0).astype(dtype) / mag
-
-    b_plus = []
-    b_minus = []
-    for (i, j) in _pairs(d):
-        b_plus.append(safe_div(g[i] + g[j], sigma[i] + sigma[j]))
-        b_minus.append(safe_div(g[i] - g[j], sigma[i] - sigma[j]))
-    b_plus = jnp.stack(b_plus)
-    b_minus = jnp.stack(b_minus)
+    b_plus, b_minus = _pair_eigenvalues(model, sigma, g, mu, lam, F.dtype)
 
     if project:
         w, Q = eigh_sym(A)

@@ -201,10 +201,9 @@ def spmv_windowed(mat: BsrMatrix, x_grid):
     gathers. Equivalent to spmv(mat, rows(x)) because out-of-structure
     offsets carry zero blocks.
 
-    CAUTION: materializes the (n_nodes, K, d) window — XLA's fusion of the
-    window into the einsum exceeded HBM at 64^3/K=125 on the round-1
-    device. Use for small grids / 2D; the Pallas SpMV (round 2) is the
-    production path.
+    Materializes the (n_nodes, K, d) window ONCE (an optimization_barrier
+    stops XLA from fusing the window build into the einsum and re-executing
+    it per use — the failure mode that exceeded HBM at 64^3/K=125).
     """
     import numpy as _np
 
@@ -226,6 +225,7 @@ def spmv_windowed(mat: BsrMatrix, x_grid):
         pad = [(max(0, -int(o)), max(0, int(o))) for o in off] + [(0, 0)]
         win.append(jnp.pad(src, pad))
     W = jnp.stack(win, axis=-2).reshape(n_nodes, K, d)     # (n_nodes, K, d)
+    W = transfer.barrier(W)                                # materialize once
     rows = jnp.minimum(mat.node_of, n_nodes - 1)
     xw = W[rows]                                           # one big-row gather
     xw = jnp.where((mat.node_of < n_nodes)[:, None, None], xw, 0.0)

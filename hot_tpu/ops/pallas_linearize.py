@@ -200,14 +200,24 @@ def _svd_tiles(F, d, sweeps, dtype):
 
 
 def _derivs_fixed_corotated(sig, mu, lam, d):
+    """Returns (g, A, bm): gradient, sigma-Hessian, and the EXACT pair
+    difference quotients bm[(i,j)] = (g_i - g_j)/(s_i - s_j), which cancel
+    algebraically to 2 mu - lam (J - 1) s_k — no 0/0 at repeated sigmas
+    (mirrors models.constitutive.FixedCorotated.bm_hat)."""
     if d == 2:
         J = sig[0] * sig[1]
         Jp = [sig[1], sig[0]]
         d2J = {(0, 1): jnp.ones_like(sig[0])}
+        bm = [2.0 * mu - lam * (J - 1.0)]
     else:
         J = sig[0] * sig[1] * sig[2]
         Jp = [sig[1] * sig[2], sig[0] * sig[2], sig[0] * sig[1]]
         d2J = {(0, 1): sig[2], (0, 2): sig[1], (1, 2): sig[0]}
+        bm = [
+            2.0 * mu - lam * (J - 1.0) * sig[2],
+            2.0 * mu - lam * (J - 1.0) * sig[1],
+            2.0 * mu - lam * (J - 1.0) * sig[0],
+        ]
     g = [2.0 * mu * (sig[i] - 1.0) + lam * (J - 1.0) * Jp[i] for i in range(d)]
     A = [[None] * d for _ in range(d)]
     for i in range(d):
@@ -219,10 +229,16 @@ def _derivs_fixed_corotated(sig, mu, lam, d):
                 key = (min(i, j), max(i, j))
                 a = a + lam * (J - 1.0) * d2J[key]
             A[i][j] = a
-    return g, A
+    return g, A, bm
 
 
 def _derivs_stvk_hencky(sig, mu, lam, d):
+    """Returns (g, A, bm) with the stable log-difference-quotient bm
+    (mirrors models.constitutive.StvkHencky.bm_hat):
+      L = (log s_i - log s_j)/(s_i - s_j) = 2 atanh(z)/(s_i + s_j)
+      bm = (2 mu (s_j L - log s_j) - lam tr)/(s_i s_j)
+    atanh(z)/z via log for general z, series for small z (log is the only
+    transcendental — Mosaic-lowerable)."""
     s = [jnp.maximum(jnp.abs(x), 1e-6) for x in sig]
     eps = [jnp.log(x) for x in s]
     tr = sum(eps)
@@ -235,7 +251,34 @@ def _derivs_stvk_hencky(sig, mu, lam, d):
                 A[i][j] = (2.0 * mu + lam) / (s[i] * s[i]) - g[i] / s[i]
             else:
                 A[i][j] = lam / (s[i] * s[j])
-    return g, A
+    pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
+    bm = []
+    for (i, j) in pairs:
+        si, sj = s[i], s[j]
+        z = (si - sj) / (si + sj)
+        small = jnp.abs(z) < 1e-4
+        z_safe = jnp.where(small, jnp.ones_like(z), z)
+        atz = jnp.where(
+            small,
+            1.0 + z * z / 3.0,
+            jnp.log((1.0 + z_safe) / (1.0 - z_safe)) / (2.0 * z_safe),
+        )
+        L = 2.0 / (si + sj) * atz
+        closed = (2.0 * mu * (sj * L - eps[j]) - lam * tr) / (si * sj)
+        # hybrid (mirrors constitutive._hybrid_bm): direct quotient when the
+        # raw sigmas are well separated (correct through the energy clamp
+        # near inversion), closed form at near-degeneracy, 0 if both clamped
+        delta = sig[i] - sig[j]
+        scale = jnp.abs(sig[i]) + jnp.abs(sig[j]) + 1.0
+        well_sep = jnp.abs(delta) > 1e-3 * scale
+        delta_safe = jnp.where(well_sep, delta, jnp.ones_like(delta))
+        direct = (g[i] - g[j]) / delta_safe
+        smooth = jnp.minimum(sig[i], sig[j]) > 2e-6
+        bm.append(
+            jnp.where(well_sep, direct,
+                      jnp.where(smooth, closed, jnp.zeros_like(closed)))
+        )
+    return g, A, bm
 
 
 _MODEL_DERIVS = {
@@ -273,7 +316,7 @@ def _kernel(dt_ref, vi_ref, gwn_ref, F_ref, mu_ref, lam_ref, V0_ref,
 
     mu = mu_ref[0]
     lam = lam_ref[0]
-    g, A = _MODEL_DERIVS[model_name](sig, mu, lam, d)
+    g, A, bm = _MODEL_DERIVS[model_name](sig, mu, lam, d)
 
     eps_div = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-10, dtype)
 
@@ -283,7 +326,6 @@ def _kernel(dt_ref, vi_ref, gwn_ref, F_ref, mu_ref, lam_ref, V0_ref,
 
     pairs = [(0, 1)] if d == 2 else [(0, 1), (0, 2), (1, 2)]
     bp = [safe_div(g[i] + g[j], sig[i] + sig[j]) for (i, j) in pairs]
-    bm = [safe_div(g[i] - g[j], sig[i] - sig[j]) for (i, j) in pairs]
 
     if project:
         # SPD-clamp A via its own eigendecomposition (symmetrize first)

@@ -144,6 +144,12 @@ def _advance_one_step_impl(
         grid_m, v_star, proj, dt, dx, scatter=scatter,
     )
 
+    # Pallas fused-kernel routing: None = auto (on when tracing for TPU;
+    # linearize additionally needs analytic tile derivatives for the model)
+    on_tpu = jax.default_backend() == "tpu"
+    fused_apply = on_tpu if sol.pallas_apply is None else sol.pallas_apply
+    fused_lin = on_tpu if sol.pallas_linearize is None else sol.pallas_linearize
+
     # Hessian representation: matrix-free (HOT's --matfree) or explicit BSR
     if sol.matrix_free:
         build_hess = lambda v: (
@@ -155,14 +161,14 @@ def _advance_one_step_impl(
         multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
                                                   scatter=scatter,
                                                   gather_st=gather_st,
-                                                  fused=sol.pallas_apply)
+                                                  fused=fused_apply)
 
         def lin(v):
             # fused residual + Hessian (one SVD chain per Newton iteration)
             r, hess = obj_mod.linearize(
                 model, objective, v, project_spd=sol.project_hessian,
                 scatter=scatter, gather_st=gather_st,
-                fused=sol.pallas_linearize,
+                fused=fused_lin,
             )
             return r, (hess, None)
     else:

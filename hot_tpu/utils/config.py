@@ -63,12 +63,16 @@ class SolverConfig:
     adaptive_forcing: bool = True
     matrix_free: bool = True        # finest-level Hessian: matrix-free vs BSR
     # Route the per-particle Hessian-apply chain through the Pallas fused
-    # kernel (ops.pallas_apply). Requires a TPU (or interpret mode).
-    pallas_apply: bool = False
-    # EXPERIMENTAL: fused Newton linearization kernel (ops.pallas_linearize).
-    # Known fp32 precision loss at near-degenerate singular values on TPU —
-    # see docs/KERNEL_PLAN.md before enabling.
-    pallas_linearize: bool = False
+    # kernel (ops.pallas_apply). None = auto: on when running on TPU.
+    pallas_apply: Optional[bool] = None
+    # Fused Newton linearization kernel (ops.pallas_linearize): the whole
+    # grad -> F_new -> SVD -> model derivatives -> SPD projection -> stress
+    # chain in one kernel. None = auto: on when running on TPU and the
+    # model has analytic tile derivatives. Verified to take ITERATION-
+    # IDENTICAL Newton/CG trajectories vs the XLA path once the pair
+    # quotients use the models' stable closed forms (bm_hat) — the earlier
+    # regression was 0/0 noise at near-rest particles, not the kernel.
+    pallas_linearize: Optional[bool] = None
     # static row capacity for the explicit BSR matrix (matrix_free=False);
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0

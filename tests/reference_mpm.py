@@ -93,7 +93,11 @@ def dpdf_matrix(F, mu, lam, project=True, eps=1e-10):
         mag = max(abs(den), eps)
         return num * (1.0 if den >= 0 else -1.0) / mag
 
-    b_minus = safe(g[0] - g[1], s[0] - s[1])   # shear-stretch eigenvalue
+    # shear-stretch eigenvalue: the difference quotient (g0 - g1)/(s0 - s1)
+    # cancels algebraically for fixed corotated -> 2 mu - lam (J - 1);
+    # exact at s0 == s1 (every rest-state particle), where the naive
+    # quotient is 0/0 (matches constitutive.FixedCorotated.bm_hat)
+    b_minus = 2.0 * mu - lam * (np.prod(s) - 1.0)
     b_plus = safe(g[0] + g[1], s[0] + s[1])    # rotation eigenvalue
     if project:
         b_minus = max(b_minus, 0.0)

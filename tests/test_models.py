@@ -33,6 +33,35 @@ def random_F(rng, n, d, spread=0.3):
 
 @pytest.mark.parametrize("name", list(MODEL_REGISTRY))
 @pytest.mark.parametrize("d", [2, 3])
+def test_bm_hat_matches_quotient_and_its_degenerate_limit(name, d):
+    """b_minus = (g_i - g_j)/(s_i - s_j) via the model's closed form:
+    (a) equals the direct quotient at well-separated sigmas, and
+    (b) equals the analytic limit at repeated sigmas — the case every
+    near-rest particle hits, where the naive quotient is 0/0 (this noise
+    was measured to stall Newton/CG on TPU fp32)."""
+    model = MODEL_REGISTRY[name]
+
+    def bm0(sig):
+        g = jax.grad(model.psi_hat)(sig, MU, LAM)
+        return model.bm_hat(sig, g, MU, LAM)[0]
+
+    # (a) separated: compare against the direct quotient
+    sig = jnp.asarray([1.4, 0.9, 0.7][:d])
+    g = jax.grad(model.psi_hat)(sig, MU, LAM)
+    direct = (g[0] - g[1]) / (sig[0] - sig[1])
+    np.testing.assert_allclose(bm0(sig), direct, rtol=1e-6)
+
+    # (b) repeated pair: compare against a symmetric-perturbation limit
+    base = jnp.asarray([1.3, 1.3, 0.7][:d])
+    e01 = jnp.asarray([0.5, -0.5, 0.0][:d])
+    t = 1e-7
+    gp = jax.grad(model.psi_hat)(base + t * e01, MU, LAM)
+    limit = (gp[0] - gp[1]) / t
+    np.testing.assert_allclose(bm0(base), limit, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", list(MODEL_REGISTRY))
+@pytest.mark.parametrize("d", [2, 3])
 def test_first_piola_is_grad_of_psi(rng, name, d):
     model = MODEL_REGISTRY[name]
     F = random_F(rng, 50, d)

@@ -55,16 +55,23 @@ def test_tile_model_derivs(rng, dim, model_name):
     sig = jnp.asarray(rng.uniform(0.5, 1.8, (n, dim)), jnp.float32)
     mu = jnp.full((n,), 3846.15, jnp.float32)
     lam = jnp.full((n,), 5769.23, jnp.float32)
-    g_t, A_t = _MODEL_DERIVS[model_name](
+    g_t, A_t, bm_t = _MODEL_DERIVS[model_name](
         [sig[:, i] for i in range(dim)], mu, lam, dim
     )
     g_k = jnp.stack(g_t, -1)
     A_k = jnp.stack([jnp.stack(r, -1) for r in A_t], -2)
+    bm_k = jnp.stack(bm_t, -1)
     g_ref = jax.vmap(jax.grad(model.psi_hat))(sig, mu, lam)
     A_ref = jax.vmap(jax.jacfwd(jax.grad(model.psi_hat)))(sig, mu, lam)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
                                rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(A_k), np.asarray(A_ref),
+                               rtol=2e-3, atol=5e-1)
+    # stable pair quotients == the constitutive path's bm_hat
+    bm_ref = jax.vmap(
+        lambda s_, g_, m_, l_: model.bm_hat(s_, g_, m_, l_)
+    )(sig, g_ref, mu, lam)
+    np.testing.assert_allclose(np.asarray(bm_k), np.asarray(bm_ref),
                                rtol=2e-3, atol=5e-1)
 
 

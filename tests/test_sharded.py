@@ -101,4 +101,6 @@ def test_sharded_cg_matches_single_device(n_devices):
         mesh, sys, geom, b, tol=1e-8, max_iters=1000
     )
     assert int(iters) == int(ref.iters), (int(iters), int(ref.iters))
-    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-10)
+    # agreement is bounded by the CG tolerance (1e-8), not machine eps:
+    # the two runs sum halo contributions in different orders
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=3e-9)
