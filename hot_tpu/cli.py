@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="scene builder argument, e.g. res=64 (repeatable)",
     )
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
+    p.add_argument(
+        "--frame-format", default="bgeo", choices=["bgeo", "ply", "npz"],
+        help="render frame format (bgeo = reference's partio output)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=1, metavar="FRAMES")
     p.add_argument("--max-steps", type=int, default=0, help="stop after N steps (0=off)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -119,7 +123,10 @@ def main(argv=None):
     for frame in range(start_frame, args.frames):
         t0 = time.perf_counter()
         sim.advance_frame()
-        save_frame(os.path.join(out_dir, f"frame_{frame:05d}.npz"), sim.state)
+        save_frame(
+            os.path.join(out_dir, f"frame_{frame:05d}.{args.frame_format}"),
+            sim.state,
+        )
         if (frame + 1) % args.checkpoint_every == 0:
             save_checkpoint(
                 os.path.join(out_dir, f"ckpt_{frame:05d}.npz"),

@@ -38,11 +38,24 @@ def load_checkpoint(path: str) -> Tuple[ParticleState, float, int]:
     return ParticleState(**fields), float(data["__t"]), int(data["__step_count"])
 
 
-def save_frame(path: str, state: ParticleState):
-    """Render-output dump: positions (+velocity magnitude for shading)."""
+def save_frame(path: str, state: ParticleState, fmt: str = None):
+    """Render-output frame dump (reference: writePartio .bgeo, #19).
+
+    Format from the extension (or `fmt`): .bgeo (classic Houdini, what the
+    reference's partio emits — native C++ writer), .ply (binary
+    little-endian), .npz (portable arrays).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
-        path,
-        x=np.asarray(state.x),
-        v=np.asarray(state.v),
-    )
+    ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    if ext == "bgeo":
+        from hot_tpu import native
+
+        native.write_bgeo(path, x, v)
+    elif ext == "ply":
+        from hot_tpu import native
+
+        native.write_ply(path, x, v)
+    else:
+        np.savez_compressed(path, x=x, v=v)

@@ -74,5 +74,9 @@ def sample_mesh(key, obj_path: str, dx: float, particles_per_cell: int,
     hi = verts.max(axis=0)
     dtype = dtype or jnp.float32
     x, vol = sample_box(key, lo, hi, dx, particles_per_cell, dtype)
-    inside = points_inside_mesh(np.asarray(x), verts, faces)
+    from hot_tpu import native
+
+    # native OpenMP ray-parity when the toolchain is present (the 10M-
+    # particle path); identical-rule numpy fallback otherwise
+    inside = native.inside_mesh(verts, faces, np.asarray(x))
     return x[jnp.asarray(inside)], vol

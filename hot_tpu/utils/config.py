@@ -56,7 +56,11 @@ class SolverConfig:
     cn_eps: float = 1e-2            # --cneps
     abs_tol: float = 1e-9           # fallback absolute residual tolerance
     linear_solver: str = "cg"       # cg | minres
-    preconditioner: str = "jacobi"  # none | jacobi | multigrid
+    # none | jacobi (mass) | block_jacobi (HOT's --Ainv) | multigrid.
+    # block_jacobi default: measured 4x fewer CG iters / 2x steps/s than
+    # mass-Jacobi on the twisting bar once the Hessian carries the exact
+    # shear-stretch pair terms (bm_hat).
+    preconditioner: str = "block_jacobi"
     max_cg: int = 200
     cg_tol: float = 1e-3            # relative tolerance (inexact Newton floor)
     # Eisenstat-Walker-style forcing: eta_k = min(cg_tol, sqrt(|r_k|/|r_0|))

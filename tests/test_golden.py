@@ -31,9 +31,17 @@ def _impact_state(scene, dt):
 
 
 def test_single_step_matches_dense_reference():
+    import dataclasses
+
     res = 32
     dt = 4e-3
     scene = build_scene("block_drop_2d", res=res, dtype=jnp.float64)
+    # config 1 is the PLAIN Newton + mass-Jacobi-PCG rung of the acceptance
+    # ladder — the dense numpy reference implements exactly that
+    scene["cfg"] = dataclasses.replace(
+        scene["cfg"],
+        solver=dataclasses.replace(scene["cfg"].solver, preconditioner="jacobi"),
+    )
     state = _impact_state(scene, dt)
     cfg = scene["cfg"]
 
