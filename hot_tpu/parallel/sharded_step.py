@@ -33,6 +33,7 @@ from hot_tpu.ops import transfer
 from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
 from hot_tpu.parallel.halo import exchange_halo, fold_halo
 from hot_tpu.sim import collision
+from hot_tpu.sim import objective as obj_mod
 from hot_tpu.sim.state import ParticleState
 from hot_tpu.solver.newton import newton_solve
 from hot_tpu.utils.config import SimConfig
@@ -252,14 +253,35 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
             den = jax.lax.psum(jnp.sum(active), axis)
             return jnp.sqrt(num / jnp.maximum(den, 1).astype(r.dtype))
 
+        # ---- preconditioner (mirrors the single-device options) ----------
+        # block_jacobi: per-node (d, d) diagonal blocks of M + dt^2 K,
+        # assembled with the SAME halo-folded scatter as the forces, so
+        # boundary-node blocks match the single-device operator exactly;
+        # application is purely node-local (no communication per CG iter).
+        # "multigrid" currently falls back to block_jacobi inside the
+        # sharded step (sharded MG is queued work).
+        if sol.preconditioner in ("block_jacobi", "multigrid"):
+
+            def build_preconditioner(ctx):
+                D_blocks = obj_mod.elastic_block_diag(
+                    st, ps.F, ctx, ps.V0, dt, grid_m, active, dim,
+                    scatter=lambda _st, values, _n: scatter_fold(values),
+                )
+                return jnp.linalg.inv(D_blocks)
+
+            precondition = lambda Dinv, r: jnp.einsum("nij,nj->ni", Dinv, r)
+        else:
+            build_preconditioner = lambda ctx: None
+            precondition = lambda _, r: jnp.where(
+                active[:, None], r * inv_m[:, None], r
+            )
+
         result = newton_solve(
             linearize=linearize,
             multiply=multiply,
             project=project_r,
-            precondition=lambda _, r: jnp.where(
-                active[:, None], r * inv_m[:, None], r
-            ),
-            build_preconditioner=lambda hess: None,
+            precondition=precondition,
+            build_preconditioner=build_preconditioner,
             cn_norm=cn_norm,
             v0=v0,
             max_newton=sol.max_newton,

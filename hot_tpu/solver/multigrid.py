@@ -74,6 +74,9 @@ class MGPrecond(NamedTuple):
     diag_inv: Tuple[jax.Array, ...]   # per level: (n_nodes_l, d, d) block inverses
     lmax: Tuple[jax.Array, ...]       # per level: scalar spectral bound
     ctx: object                       # per-particle dPdF context (shared by levels)
+    coarse_chol: object = None        # Cholesky factor of the projected
+                                      # coarsest operator (coarse_solver =
+                                      # "direct"; reference: Eigen LDLT, #11)
 
 
 def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
@@ -190,17 +193,76 @@ def build_precond(
     """Per-Newton-iteration smoother data: block diagonals + lambda_max."""
     diag_inv = []
     lmax = []
-    for level in mg.levels:
+    for l, level in enumerate(mg.levels):
         D = obj_mod.elastic_block_diag(
             level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
             scatter=level.scatter,
         )
         Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
         diag_inv.append(Dinv)
-        lmax.append(
-            _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv, cfg.power_iters)
+        need_lmax = cfg.smoother == "chebyshev" and (
+            l < len(mg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
-    return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx)
+        if need_lmax:
+            lam = _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv,
+                                        cfg.power_iters)
+        else:
+            lam = jnp.ones((), F_n.dtype)
+        lmax.append(lam)
+    chol = None
+    if cfg.coarse_solver == "direct":
+        chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim)
+    return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
+                     coarse_chol=chol)
+
+
+def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int):
+    """Cholesky factor of the BC-projected coarsest operator (reference:
+    the Eigen LDLT coarse solve, components #11/#36).
+
+    Assembles the coarsest level's BSR from particle quadrature, expands
+    to dense over ALL coarsest nodes (choose `levels` so the coarsest is
+    a few-thousand DoF, as HOT does), projects constrained/inactive DoFs
+    to identity rows/cols, and factors once per Newton iteration.
+    """
+    from hot_tpu.ops import bsr as bsr_mod
+
+    n_nodes = level.grid_m.shape[0]
+    mat = bsr_mod.structure(level.active, level.res, capacity=n_nodes)
+    mat = bsr_mod.assemble_hessian(
+        mat, level.stencil, F_n, ctx, V0, dt, level.grid_m
+    )
+    free_rows = level.free[jnp.minimum(mat.node_of, n_nodes - 1)]
+    free_rows = jnp.logical_and(free_rows, mat.node_of < n_nodes)
+    # dense (rows, cols, d, d) from the geometric-offset blocks
+    cols = jnp.maximum(mat.col_row, 0)
+    ok = (mat.col_row >= 0) & free_rows[:, None] & free_rows[cols]
+    vals = jnp.where(ok[:, :, None, None], mat.vals, 0.0)
+    n_rows = mat.n_rows
+    flat = (jnp.arange(n_rows, dtype=jnp.int32)[:, None] * n_rows + cols)
+    flat = jnp.where(ok, flat, n_rows * n_rows)
+    A = jnp.zeros((n_rows * n_rows + 1, dim, dim), vals.dtype)
+    A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dim, dim))[:-1]
+    A = A.reshape(n_rows, n_rows, dim, dim).transpose(0, 2, 1, 3)
+    A = A.reshape(n_rows * dim, n_rows * dim)
+    # identity on non-free DoFs keeps the factorization well posed
+    diag_fix = jnp.repeat(~free_rows, dim).astype(A.dtype)
+    A = A + jnp.diag(diag_fix)
+    # tiny Tikhonov guard: quadrature + fp can leave the projected
+    # operator semi-definite at machine precision
+    eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
+    A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
+    return (jax.scipy.linalg.cho_factor(A), mat)
+
+
+def _coarse_dense_solve(chol_and_mat, b, n_nodes: int):
+    (chol, mat) = chol_and_mat
+    from hot_tpu.ops import bsr as bsr_mod
+
+    b_rows = bsr_mod.grid_vector_to_rows(mat, b)
+    d = b.shape[1]
+    x = jax.scipy.linalg.cho_solve(chol, b_rows.reshape(-1))
+    return bsr_mod.rows_to_grid_vector(mat, x.reshape(-1, d), n_nodes)
 
 
 def _bapply(B, v):
@@ -316,6 +378,9 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
     x = jnp.zeros_like(b)
     if l == len(mg.levels) - 1:
         # coarsest solve (reference: --coarseSolver knob)
+        if cfg.coarse_solver == "direct":
+            x = _coarse_dense_solve(pre.coarse_chol, b, level.grid_m.shape[0])
+            return level_project(level, x)
         if cfg.coarse_solver == "cg":
             from hot_tpu.solver.cg import cg_solve
 

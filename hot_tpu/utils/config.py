@@ -30,7 +30,10 @@ class MultigridConfig:
     smoother: str = "chebyshev"     # chebyshev | jacobi | scaled_jacobi
     chebyshev_order: int = 2        # polynomial degree per smooth call
     jacobi_omega: float = 2.0 / 3.0
-    coarse_solver: str = "smoother"  # smoother | cg (agglomerated coarse solve)
+    # smoother | cg | direct (dense Cholesky of the agglomerated coarsest
+    # operator — reference's Eigen LDLT, #11; pick `levels` so the coarsest
+    # is a few-thousand DoF)
+    coarse_solver: str = "smoother"
     coarse_iters: int = 20
     # Fraction of the spectrum the Chebyshev smoother targets: [lmax*lo, lmax*hi]
     chebyshev_lo: float = 0.1

@@ -96,15 +96,21 @@ def _linear_system(res, E=1e7, dt=4e-3, levels=3):
 
     mgs = mg_mod.build_static(state.x, state.m, grid_res, dx, levels,
                               constrained, jnp.float64)
-    mcfg = cfg.solver.multigrid
-    pre = mg_mod.build_precond(mgs, state.F, hess.ctx, state.V0, dt, mcfg, 2)
+
+    def make_prec_mg(**mg_overrides):
+        import dataclasses
+
+        mcfg = dataclasses.replace(cfg.solver.multigrid, **mg_overrides)
+        pre = mg_mod.build_precond(mgs, state.F, hess.ctx, state.V0, dt,
+                                   mcfg, 2)
+        return lambda r: mg_mod.mg_precondition(mgs, pre, state.F, state.V0,
+                                                dt, mcfg, r)
 
     mult = lambda w: obj_mod.multiply(obj, hess, w)
     project = lambda r: obj_mod.project(obj, r)
-    prec_mg = lambda r: mg_mod.mg_precondition(mgs, pre, state.F, state.V0,
-                                               dt, mcfg, r)
+    prec_mg = make_prec_mg()
     prec_jac = lambda r: obj_mod.mass_precondition(obj, r)
-    return mult, project, prec_mg, prec_jac, b
+    return mult, project, prec_mg, prec_jac, b, make_prec_mg
 
 
 def test_mg_iterations_resolution_independent():
@@ -116,7 +122,7 @@ def test_mg_iterations_resolution_independent():
 
     iters = {}
     for res in (64, 96):
-        mult, project, prec_mg, prec_jac, b = _linear_system(res)
+        mult, project, prec_mg, prec_jac, b, _ = _linear_system(res)
         r_mg = cg_solve(mult, b, precondition=prec_mg, project=project,
                         tol=1e-8, max_iters=3000)
         r_jac = cg_solve(mult, b, precondition=prec_jac, project=project,
@@ -127,6 +133,24 @@ def test_mg_iterations_resolution_independent():
         assert mg_i * 3 <= jac_i, iters
     # near-resolution-independence: no further growth from 64 -> 96
     assert iters[96][0] <= 1.3 * iters[64][0], iters
+
+
+def test_mg_direct_coarse_solver():
+    """coarse_solver="direct" (dense Cholesky of the agglomerated coarsest
+    operator — the reference's Eigen LDLT option): MG-PCG must converge and
+    need no more iterations than the smoother-coarse V-cycle."""
+    from hot_tpu.solver.cg import cg_solve
+
+    mult, project, prec_sm, _, b, make_prec = _linear_system(48)
+    prec_dir = make_prec(coarse_solver="direct")
+    r_dir = cg_solve(mult, b, precondition=prec_dir, project=project,
+                     tol=1e-8, max_iters=3000)
+    r_sm = cg_solve(mult, b, precondition=prec_sm, project=project,
+                    tol=1e-8, max_iters=3000)
+    assert bool(r_dir.converged)
+    assert int(r_dir.iters) <= int(r_sm.iters) + 2, (
+        int(r_dir.iters), int(r_sm.iters),
+    )
 
 
 def test_vcycle_contracts_residual(rng):
