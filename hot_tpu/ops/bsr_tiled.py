@@ -1,0 +1,183 @@
+"""Tile-structured BSR SpMV — the TPU-shaped explicit-operator kernel.
+
+Reference equivalents: HOT's per-level BSR SpMV inside the MG-PCG smoother
+loop (components #35/#36, SURVEY.md §3.4); the SPGrid-style paged layout of
+component #25 is what makes this formulation natural.
+
+Why this layout: the generic compressed-row SpMV (`ops.bsr.spmv`) gathers
+n_rows * K tiny (d,)-rows; on this TPU dynamic-indexed ops carry an ~ms
+fixed latency floor (docs/KERNEL_PLAN.md), so at 64^3 the gather costs
+~6.5 ms for a matrix whose HBM speed-of-light is ~0.1 ms. The fix mirrors
+the reference's paged grid: rows are stored per ACTIVE TILE (4^dim nodes,
+from grid.sparse.TileGrid), so
+
+  1. the x-values any tile needs live in its 3^dim NEIGHBOR TILES:
+     ONE gather of T*3^dim whole tile-blocks (big rows — latency-friendly);
+  2. rearranging the (3,4)^dim neighborhood into a 12^dim supercube and
+     slicing its center 8^dim makes every one of the K=5^dim stencil
+     offsets a STATIC window slice — zero dynamic ops from here on;
+  3. y_tile = sum_k vals[:, :, k] @ window_k(X8): regular batched
+     (d, d) x (d,) VPU work, bandwidth-bound on vals — the roofline shape.
+
+The matrix reuses ops.bsr.BsrMatrix with rows in tile-compacted order
+(inactive in-tile rows padded, zero blocks), so assembly, equality tests,
+and the scipy cross-check all come for free.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.grid import sparse as sparse_mod
+from hot_tpu.ops import bsr as bsr_mod
+from hot_tpu.ops import transfer
+
+
+def structure_tiled(tgrid: sparse_mod.TileGrid) -> bsr_mod.BsrMatrix:
+    """Symbolic BSR structure with rows in tile-compacted order.
+
+    Row r = tile_slot * tile_nodes + local_id covers the node at that slot
+    (invalid slots / out-of-domain rows are fully masked). col_row holds the
+    TILE-COMPACTED row index of each geometric neighbor.
+    """
+    res = tgrid.res
+    dim = tgrid.dim
+    n_nodes = transfer.n_nodes_of(res)
+    capacity = tgrid.capacity * tgrid.tile_nodes
+
+    # node_of: flat dense node id per compacted row (n_nodes = invalid pad)
+    pos = sparse_mod.node_positions(tgrid, 1.0, jnp.float32)[:-1]  # drop dump
+    valid = jnp.all(pos < 1e8, axis=-1)
+    coords = jnp.clip(
+        pos.astype(jnp.int32), 0, jnp.asarray(res, jnp.int32) - 1
+    )
+    strides = []
+    s = 1
+    for r in reversed(res):
+        strides.append(s)
+        s *= int(r)
+    strides = jnp.asarray(strides[::-1], jnp.int32)
+    node_of = jnp.sum(coords * strides[None, :], axis=-1).astype(jnp.int32)
+    node_of = jnp.where(valid, node_of, n_nodes)
+
+    # row_of: dense node -> tile-compacted row
+    rows = jnp.arange(capacity, dtype=jnp.int32)
+    row_of = jnp.full((n_nodes + 1,), -1, jnp.int32)
+    row_of = row_of.at[jnp.where(valid, node_of, n_nodes)].set(
+        jnp.where(valid, rows, -1)
+    )[:n_nodes]
+
+    # neighbor columns at the 5^dim geometric offsets
+    offs = bsr_mod._offsets(dim, 2)                          # (K, dim)
+    res_arr = jnp.asarray(res, jnp.int32)
+    ncoords = coords[:, None, :] + offs[None, :, :]
+    in_dom = jnp.all((ncoords >= 0) & (ncoords < res_arr[None, None, :]), axis=-1)
+    nids = jnp.sum(jnp.clip(ncoords, 0, res_arr - 1) * strides[None, None, :], axis=-1)
+    col_row = jnp.where(in_dom & valid[:, None], row_of[nids], -1)
+    K = 5**dim
+    vals = jnp.zeros((capacity, K, dim, dim))
+    return bsr_mod.BsrMatrix(
+        vals=vals, col_row=col_row, node_of=node_of, row_of=row_of,
+        res=tuple(res), half=2,
+    )
+
+
+def tile_neighbors(tgrid: sparse_mod.TileGrid) -> jax.Array:
+    """(T_cap, 3^dim) int32 neighbor tile SLOT table; T_cap = missing.
+
+    One lookup-gather per structure build — reused by every SpMV.
+    """
+    dim = tgrid.dim
+    tile_res = tgrid.tile_res
+    strides = sparse_mod._tile_strides(tile_res)
+    slots = jnp.minimum(tgrid.tile_ids, tgrid.n_tiles_logical - 1)
+    tcoords = []
+    rem = slots
+    for k in range(dim):
+        c = rem // strides[k]
+        rem = rem - c * strides[k]
+        tcoords.append(c)
+    tcoord = jnp.stack(tcoords, axis=-1)                     # (T_cap, dim)
+    offs = bsr_mod._offsets(dim, 1)                          # (3^dim, dim)
+    ncoord = tcoord[:, None, :] + offs[None, :, :]
+    tr = jnp.asarray(tile_res, jnp.int32)
+    in_dom = jnp.all((ncoord >= 0) & (ncoord < tr[None, None, :]), axis=-1)
+    st = jnp.asarray(strides, jnp.int32)
+    ntid = jnp.sum(jnp.clip(ncoord, 0, tr - 1) * st[None, None, :], axis=-1)
+    nslot = tgrid.lookup[jnp.clip(ntid, 0, tgrid.n_tiles_logical - 1)]
+    nslot = jnp.where(in_dom, nslot, -1)
+    valid_tile = (tgrid.tile_ids < tgrid.n_tiles_logical)[:, None]
+    nslot = jnp.where(valid_tile, nslot, -1)
+    return jnp.where(nslot >= 0, nslot, tgrid.capacity).astype(jnp.int32)
+
+
+def _supercube(xn, tile: int, dim: int):
+    """(T, 3^dim, tn, c) neighbor blocks -> (T, (3*tile)^dim..., c) supercube.
+
+    Pure reshape/transpose: axis a of the supercube interleaves (neighbor
+    offset along a, local coord along a).
+    """
+    T = xn.shape[0]
+    c = xn.shape[-1]
+    shape = (T,) + (3,) * dim + (tile,) * dim + (c,)
+    x = xn.reshape(shape)
+    perm = [0]
+    for a in range(dim):
+        perm += [1 + a, 1 + dim + a]
+    perm += [1 + 2 * dim]
+    x = x.transpose(perm)
+    return x.reshape((T,) + (3 * tile,) * dim + (c,))
+
+
+def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
+               nbr: jax.Array, x):
+    """y = A x with rows in tile order; x: (capacity*tile_nodes, d).
+
+    ONE whole-tile-block gather + static supertile windows (see module
+    docstring). Equivalent to bsr.spmv(mat, x) — tested in tests/test_bsr.py.
+    """
+    dim = tgrid.dim
+    tile = tgrid.tile
+    tn = tgrid.tile_nodes
+    T = tgrid.capacity
+    d = x.shape[-1]
+    half = mat.half
+    assert half == 2 and tile >= 3, "supertile windows assume halo 2 < tile"
+
+    xt = x.reshape(T, tn, d)
+    xt = jnp.concatenate([xt, jnp.zeros((1, tn, d), x.dtype)], axis=0)
+    xn = xt[nbr]                                   # (T, 3^dim, tn, d) block gather
+    xn = transfer.barrier(xn)                      # materialize once
+    X = _supercube(xn, tile, dim)                  # (T, 12^dim..., d)
+    # center 8^dim window: local coords [-2, tile+2) per axis
+    lo = tile - half
+    hi = 2 * tile + half
+    X8 = X[(slice(None),) + (slice(lo, hi),) * dim]  # (T, (tile+4)^dim..., d)
+    S = tile + 2 * half
+
+    # all (node, offset) window values with ONE static-index gather
+    # (measured: a loop of K per-offset einsums costs ~3x more on this
+    # device; a fused gather + pure-VPU elementwise reduction is fastest
+    # of the formulations tried — scripts/bench_spmv_forms2.py)
+    import numpy as _np
+
+    rng5 = _np.arange(5)
+    offs = _np.stack(
+        _np.meshgrid(*([rng5] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)  # 0..4 per axis, row-major — matches col_row's order
+    rngt = _np.arange(tile)
+    lidx = _np.stack(
+        _np.meshgrid(*([rngt] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    strides = _np.array([S ** (dim - 1 - a) for a in range(dim)])
+    sup_idx = ((lidx[:, None, :] + offs[None, :, :]) * strides).sum(-1)
+    sup_idx = jnp.asarray(sup_idx.reshape(-1), jnp.int32)      # (tn*K,)
+
+    xf = X8.reshape(T, S**dim, d)
+    xw = xf[:, sup_idx].reshape(T, tn, mat.K, d)
+    vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
+    y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
+    return y.reshape(T * tn, d)

@@ -145,32 +145,32 @@ def binned_scatter(bins: CellBins, values, res: Tuple[int, ...]):
     slots = slots.at[bins.slot_of].set(vals, unique_indices=True)[:-1]
     # 2. reduce over slots
     S = jnp.sum(slots.reshape(cells_cap, cap, s * c), axis=1)
-    # 3. place per-cell sums on the dense cell grid (sorted unique rows)
+    out = _cells_to_grid(bins, S, res, s, c)
+    return out if vec else out[:, 0]
+
+
+def _cells_to_grid(bins: CellBins, S, res: Tuple[int, ...], s: int, c: int):
+    """Per-cell stencil sums S (cells_cap, s*c) -> dense grid (n_cells, c):
+    ONE sorted-unique row scatter + 3^dim static shifted adds."""
     n_cells = n_nodes_of(res)
-    S_grid = jnp.zeros((n_cells + 1, s * c), vals.dtype)
+    S_grid = jnp.zeros((n_cells + 1, s * c), S.dtype)
     S_grid = S_grid.at[bins.active_cells].set(
         S, indices_are_sorted=True, unique_indices=True
     )[:n_cells]
-    # 4. static shifted accumulation
     offs, off_flat, _ = _static_offsets(res)
     S_res = S_grid.reshape(tuple(res) + (s, c))
-    grid = jnp.zeros(tuple(res) + (c,), vals.dtype)
+    grid = jnp.zeros(tuple(res) + (c,), S.dtype)
     for k in range(s):
         off = tuple(int(o) for o in offs[k])
         src = S_res[tuple(slice(0, r - o) for r, o in zip(res, off)) + (k,)]
         dst = tuple(slice(o, r) for r, o in zip(res, off))
         grid = grid.at[dst].add(src)
-    out = grid.reshape(n_cells, c)
-    return out if vec else out[:, 0]
+    return grid.reshape(n_cells, c)
 
 
-def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
-    """Stencil gather via 3^dim STATIC shifts + ONE row gather per particle.
-
-    Returns (n, 3^dim[, c]) — equivalent to grid_vals[st.node_ids] but with
-    a single dynamic-indexed op (the per-particle row lookup) instead of a
-    1.4M-tiny-row gather (measured 5.5 ms -> this shape is ~0.5 ms).
-    """
+def _grid_windows(grid_vals, res: Tuple[int, ...]):
+    """(n_nodes[, c]) -> (n_cells, 3^dim, c) stencil windows, all static
+    shifts: W[cell, k] = grid value at node (cell + offset_k)."""
     vec = grid_vals.ndim == 2
     c = grid_vals.shape[1] if vec else 1
     g = (grid_vals if vec else grid_vals[:, None]).reshape(tuple(res) + (c,))
@@ -183,7 +183,18 @@ def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
         src = g[tuple(slice(o, None) for o in off)]
         pad = [(0, int(o)) for o in off] + [(0, 0)]
         win.append(jnp.pad(src, pad))
-    W = jnp.stack(win, axis=-2).reshape(-1, s, c)   # (n_cells, s, c)
+    return jnp.stack(win, axis=-2).reshape(-1, s, c)
+
+
+def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
+    """Stencil gather via 3^dim STATIC shifts + ONE row gather per particle.
+
+    Returns (n, 3^dim[, c]) — equivalent to grid_vals[st.node_ids] but with
+    a single dynamic-indexed op (the per-particle row lookup) instead of a
+    1.4M-tiny-row gather (measured 5.5 ms -> this shape is ~0.5 ms).
+    """
+    vec = grid_vals.ndim == 2
+    W = _grid_windows(grid_vals, res)                # (n_cells, s, c)
     out = W[bins.cell_of]                            # (n, s, c) row gather
     return out if vec else out[..., 0]
 
@@ -291,6 +302,99 @@ def make_binned_gather(bins: CellBins, res: Tuple[int, ...]):
 
     def gather_st(st: Stencil, grid_vals):
         return window_gather(bins, grid_vals, res)
+
+    return gather_st
+
+
+# ---------------------------------------------------------------------------
+# slot-major layout: the zero-dynamic-indexing transfer path
+# ---------------------------------------------------------------------------
+#
+# docs/KERNEL_PLAN.md "slot-major" design: per-particle SOLVE-time arrays are
+# permuted ONCE per step into (cells_cap * cap, ...) slot order — slot
+# s belongs to compacted active cell s // cap. Consequences, per Hessian
+# apply / residual (the ops run ~40x per step inside Newton/CG):
+#   * stencil gather  = static windows + ONE sorted-unique row gather of
+#     cells_cap rows (vs one n-row gather per apply);
+#   * stencil scatter = regular reshape-sum over slots + ONE sorted-unique
+#     row scatter of cells_cap rows (vs an n-row set + cell set per apply);
+# i.e. exactly one latency-bound op per direction, on ~4x fewer rows.
+# Padding slots carry zero weights/volume so they contribute nothing.
+
+
+def slot_order(bins: CellBins, arrays):
+    """Permute per-particle arrays into slot-major order with ONE gather.
+
+    arrays: list of (n, ...) same-dtype arrays. Returns (slot_arrays, valid)
+    where each slot array is (cells_cap * cap, ...) and valid marks real
+    (non-padding) slots. Padding rows are zero.
+    """
+    n = arrays[0].shape[0]
+    parr = bins.p_cell.reshape(-1)                    # (N_slots,) pad = n
+    flats = [a.reshape(n, -1) for a in arrays]
+    packed = jnp.concatenate(flats, axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    rows = packed[parr]                               # ONE row gather
+    rows = barrier(rows)
+    out = []
+    ofs = 0
+    for a, f in zip(arrays, flats):
+        w = f.shape[1]
+        out.append(rows[:, ofs:ofs + w].reshape((parr.shape[0],) + a.shape[1:]))
+        ofs += w
+    return out, parr < n
+
+
+def particle_order(bins: CellBins, arrays, n: int):
+    """Inverse of slot_order for same-dtype arrays (ONE gather): slot-major
+    (N_slots, ...) -> per-particle (n, ...) via slot_of."""
+    flats = [a.reshape(a.shape[0], -1) for a in arrays]
+    packed = jnp.concatenate(flats, axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    rows = packed[bins.slot_of]                       # (n, Ctot)
+    rows = barrier(rows)
+    out = []
+    ofs = 0
+    for a, f in zip(arrays, flats):
+        w = f.shape[1]
+        out.append(rows[:, ofs:ofs + w].reshape((n,) + a.shape[1:]))
+        ofs += w
+    return out
+
+
+def make_slot_scatter(bins: CellBins, res: Tuple[int, ...]):
+    """Stencil-scatter closure for SLOT-MAJOR values (N_slots, s[, c])."""
+    cells_cap, cap = bins.p_cell.shape
+
+    def scatter(st: Stencil, values, n_nodes: int):
+        vec = values.ndim == 3
+        s = values.shape[1]
+        c = values.shape[2] if vec else 1
+        vals = values.reshape(cells_cap, cap, s * c)
+        S = jnp.sum(vals, axis=1)                     # regular reduction
+        out = _cells_to_grid(bins, S, res, s, c)
+        return out if vec else out[:, 0]
+
+    return scatter
+
+
+def make_slot_gather(bins: CellBins, res: Tuple[int, ...]):
+    """Stencil-gather closure returning SLOT-MAJOR (N_slots, s[, c])."""
+    cells_cap, cap = bins.p_cell.shape
+
+    def gather_st(st: Stencil, grid_vals):
+        vec = grid_vals.ndim == 2
+        W = _grid_windows(grid_vals, res)             # (n_cells, s, c)
+        rows = W[bins.active_cells]                   # sorted-unique gather
+        rows = barrier(rows)
+        out = jnp.broadcast_to(
+            rows[:, None], (cells_cap, cap) + rows.shape[1:]
+        ).reshape((cells_cap * cap,) + rows.shape[1:])
+        return out if vec else out[..., 0]
 
     return gather_st
 

@@ -1,0 +1,455 @@
+"""Sharded node-embedding multigrid: slab-partitioned levels with halo
+collectives + an agglomerated dense-Cholesky coarsest solve.
+
+Reference equivalents: HOT's MG hierarchy and V-cycle (components #35/#36,
+SURVEY.md §3.4) — which are shared-memory only. This module is the
+distributed design SURVEY.md §5.7/§5.8 prescribes:
+
+  * fine levels: neighbor-only halo exchange (ppermute) around every
+    level's scatter/gather — the same slab decomposition as the sharded
+    step, at 2^l coarser spacing (slab planes halve per level);
+  * coarsest level: latency-bound, so it is AGGLOMERATED — the dense
+    BC-projected operator is assembled from each device's local particle
+    quadrature and psum'd; every device factors the (small) matrix and
+    solves the replicated system, paying one all_gather of the coarse
+    residual instead of O(iters) neighbor hops ("coarse levels
+    agglomerated to avoid latency domination").
+
+All functions here run INSIDE shard_map (they use axis_name collectives).
+Level topology is static given (res, D, levels): slab planes per level
+must stay divisible by D and >= halo width for distributed levels — pick
+`levels` accordingly (asserted at build).
+
+Verified identical (iteration counts + trajectories) to the single-device
+MG-preconditioned step in tests/test_sharded_step.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hot_tpu.ops import transfer
+from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
+from hot_tpu.parallel.halo import exchange_halo, fold_halo
+from hot_tpu.sim import objective as obj_mod
+from hot_tpu.solver import multigrid as mg_mod
+from hot_tpu.utils.config import MultigridConfig
+
+HALO = 2
+
+
+class SMGLevel(NamedTuple):
+    st: transfer.Stencil    # local particles -> EXTENDED-slab node ids
+    gids: jax.Array         # (n, 3^dim) GLOBAL flat node ids (coarse solve)
+    grid_m: jax.Array       # (local_nodes,)
+    active: jax.Array
+    free: jax.Array
+    planes: int             # owned x-planes on this device (static)
+    plane_nodes: int        # nodes per plane (static)
+    res: Tuple[int, ...]    # global level resolution (static)
+    dx: float
+
+
+class SMGStatic(NamedTuple):
+    levels: Tuple[SMGLevel, ...]
+    embeds: Tuple[transfer.Stencil, ...]  # owned level-l nodes -> level-(l+1)
+                                          # extended-slab ids
+
+
+class SMGPrecond(NamedTuple):
+    diag_inv: Tuple[jax.Array, ...]
+    lmax: Tuple[jax.Array, ...]
+    ctx: object
+    coarse_chol: object = None
+
+
+def _rest_strides(res):
+    strides = []
+    s = 1
+    for r in reversed(res[1:]):
+        strides.append(s)
+        s *= int(r)
+    return strides[::-1]
+
+
+def _local_stencil(x, dev, dx_l, res_l, planes_l, dtype):
+    """Particle stencil with ids into this device's EXTENDED slab at level
+    spacing dx_l (mirrors sharded_step's finest-level stencil)."""
+    dim = x.shape[-1]
+    plane_nodes = 1
+    for r in res_l[1:]:
+        plane_nodes *= int(r)
+    base, w, dw = quadratic_bspline_weights(x, dx_l)
+    wn, gwn = tensor_weights(w, dw)
+    offs = stencil_offsets(dim)
+    res_arr = jnp.asarray(res_l, jnp.int32)
+    coords = jnp.clip(base[:, None, :] + offs[None], 0, res_arr - 1)
+    lplane = coords[..., 0] - dev * planes_l + HALO
+    rest = jnp.zeros(coords.shape[:-1], jnp.int32)
+    strides = _rest_strides(res_l)
+    for k in range(dim - 1):
+        rest = rest + coords[..., k + 1] * strides[k]
+    lids = jnp.clip(lplane, 0, planes_l + 2 * HALO - 1) * plane_nodes + rest
+    gids = coords[..., 0] * plane_nodes + rest               # GLOBAL flat ids
+    rel = coords.astype(dtype) * dx_l - x[:, None, :]
+    return (transfer.Stencil(node_ids=lids, wn=wn, gwn=gwn, rel=rel),
+            gids, plane_nodes)
+
+
+def make_level_ops(level: SMGLevel, axis: str, D: int):
+    """(scatter, gather_st) closures with halo fold/exchange for this level
+    — drop-ins for obj_mod.elastic_hessian_apply / elastic_block_diag."""
+    planes, plane_nodes = level.planes, level.plane_nodes
+    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    local_nodes = planes * plane_nodes
+
+    def scatter(st, values, _n_nodes):
+        ext = transfer.scatter_sum(st.node_ids, values, ext_nodes)
+        extp = ext.reshape((planes + 2 * HALO, plane_nodes) + ext.shape[1:])
+        return fold_halo(extp, axis, D, HALO).reshape(
+            (local_nodes,) + ext.shape[1:]
+        )
+
+    def gather_st(st, v_local):
+        vp = v_local.reshape((planes, plane_nodes) + v_local.shape[1:])
+        ext = exchange_halo(vp, axis, D, HALO)
+        return ext.reshape((ext_nodes,) + v_local.shape[1:])[st.node_ids]
+
+    return scatter, gather_st
+
+
+def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
+                 axis: str, D: int, dtype) -> SMGStatic:
+    """Per-step hierarchy from this device's (padded) local particles.
+
+    constrained0: (local_nodes_0,) bool — finest-level Dirichlet mask.
+    Padding particles carry m == 0 so they never activate nodes.
+    """
+    levels = []
+    embeds = []
+    cur_res = tuple(res)
+    cur_dx = dx
+    cons = constrained0
+    for l in range(n_levels):
+        planes_l = cur_res[0] // D
+        assert cur_res[0] % D == 0 and planes_l >= HALO, (
+            f"level {l}: res_x={cur_res[0]} not slab-divisible over {D} "
+            f"devices with halo {HALO}; lower cfg.solver.multigrid.levels"
+        )
+        st, gids, plane_nodes = _local_stencil(
+            ps_x, dev, cur_dx, cur_res, planes_l, dtype
+        )
+        lvl = SMGLevel(st=st, gids=gids, grid_m=None, active=None, free=None,
+                       planes=planes_l, plane_nodes=plane_nodes,
+                       res=cur_res, dx=cur_dx)
+        scatter, _ = make_level_ops(lvl, axis, D)
+        grid_m = scatter(st, st.wn * ps_m[:, None], 0)
+        active = grid_m > 0
+        free = jnp.logical_and(active, jnp.logical_not(cons))
+        lvl = lvl._replace(grid_m=grid_m, active=active, free=free)
+        levels.append(lvl)
+        if l == n_levels - 1:
+            break
+        # embedding: OWNED level-l nodes as particles of level l+1
+        nxt_res = mg_mod.coarse_res(cur_res)
+        nxt_dx = cur_dx * 2.0
+        planes_n = nxt_res[0] // D
+        node_pos = _owned_positions(dev, planes_l, cur_res, cur_dx, dtype)
+        embed, _, pn_n = _local_stencil(node_pos, dev, nxt_dx, nxt_res,
+                                        planes_n, dtype)
+        # inactive fine nodes must not pollute coarse sums
+        embed = embed._replace(wn=jnp.where(active[:, None], embed.wn, 0.0))
+        embeds.append(embed)
+        # propagate the constraint mask (same rule as single-device MG)
+        nxt_lvl = SMGLevel(st=None, gids=None, grid_m=None, active=None,
+                           free=None, planes=planes_n, plane_nodes=pn_n,
+                           res=nxt_res, dx=nxt_dx)
+        c_scatter, _ = make_level_ops(nxt_lvl, axis, D)
+        w_total = c_scatter(embed, embed.wn, 0)
+        w_cons = c_scatter(
+            embed, embed.wn * cons[:, None].astype(embed.wn.dtype), 0
+        )
+        cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
+        cur_res, cur_dx = nxt_res, nxt_dx
+    return SMGStatic(levels=tuple(levels), embeds=tuple(embeds))
+
+
+def _owned_positions(dev, planes, res, dx_l, dtype):
+    dim = len(res)
+    plane_nodes = 1
+    for r in res[1:]:
+        plane_nodes *= int(r)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (planes, plane_nodes), 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (planes, plane_nodes), 1)
+    coords = [dev * planes + p_idx]
+    strides = _rest_strides(res)
+    rem = r_idx
+    for k in range(dim - 1):
+        coords.append(rem // strides[k])
+        rem = rem - (rem // strides[k]) * strides[k]
+    return jnp.stack(
+        [c.reshape(-1).astype(dtype) * dx_l for c in coords], axis=-1
+    )
+
+
+def level_multiply(level: SMGLevel, F, ctx, V0, dt, w, axis: str, D: int):
+    scatter, gather_st = make_level_ops(level, axis, D)
+    return obj_mod.elastic_hessian_apply(
+        level.st, F, ctx, V0, dt, level.grid_m, level.active, w,
+        scatter=scatter, gather_st=gather_st,
+    )
+
+
+def level_project(level: SMGLevel, r):
+    return jnp.where(level.free[:, None], r, 0.0)
+
+
+def _bapply(B, v):
+    return jnp.einsum("nij,nj->ni", B, v)
+
+
+def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
+                  dim: int, axis: str, D: int) -> SMGPrecond:
+    """Per-Newton smoother data; lambda_max power iterations psum across the
+    mesh so every device holds the identical bound."""
+    diag_inv = []
+    lmax = []
+    for l, level in enumerate(smg.levels):
+        scatter, _ = make_level_ops(level, axis, D)
+        Db = obj_mod.elastic_block_diag(
+            level.st, F, ctx, V0, dt, level.grid_m, level.active, dim,
+            scatter=scatter,
+        )
+        Dinv = jnp.linalg.inv(Db)
+        diag_inv.append(Dinv)
+        need = cfg.smoother == "chebyshev" and (
+            l < len(smg.levels) - 1 or cfg.coarse_solver == "smoother"
+        )
+        if need:
+            lam = _power_lmax(level, F, ctx, V0, dt, Dinv, cfg.power_iters,
+                              axis, D)
+        else:
+            lam = jnp.ones((), F.dtype)
+        lmax.append(lam)
+    chol = None
+    if cfg.coarse_solver == "direct":
+        chol = _coarse_dense_factor(smg.levels[-1], F, ctx, V0, dt, dim,
+                                    axis, D)
+    return SMGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
+                      coarse_chol=chol)
+
+
+def _power_lmax(level, F, ctx, V0, dt, Dinv, iters, axis, D):
+    def dinva(v):
+        v = level_project(level, v)
+        Av = level_multiply(level, F, ctx, V0, dt, v, axis, D)
+        return level_project(level, _bapply(Dinv, Av))
+
+    def gnorm(v):
+        return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
+
+    d = F.shape[-1]
+    v = level.free[:, None].astype(F.dtype) * jnp.ones((1, d), F.dtype)
+    v = v / jnp.maximum(gnorm(v), 1e-30)
+
+    def body(_, carry):
+        v, lam = carry
+        Av = dinva(v)
+        na, nv = gnorm(Av), gnorm(v)
+        lam = na / jnp.maximum(nv, 1e-30)
+        return (Av / jnp.maximum(na, 1e-30), lam)
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), F.dtype)))
+    return jnp.maximum(lam, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# agglomerated coarsest-level direct solve
+# ---------------------------------------------------------------------------
+
+
+def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D):
+    """Dense BC-projected coarsest operator: local quadrature contributions
+    with GLOBAL node ids, psum'd across the mesh, factored replicated.
+
+    The coarsest grid must be small (choose `levels` so n_nodes(res_L) is a
+    few thousand at most — HOT's own guidance for its LDLT coarse solve)."""
+    res = level.res
+    n_nodes = transfer.n_nodes_of(res)
+    gids = level.gids                    # (n, 3^dim) GLOBAL flat node ids
+
+    def per_particle(gwn_p, F_p, ctx_p, V0_p):
+        g = gwn_p @ F_p
+        eye = jnp.eye(dim, dtype=F_p.dtype)
+
+        def dP_for(gk):
+            def col(a):
+                from hot_tpu.models import constitutive as cm
+
+                return cm.apply_hessian(ctx_p, dt * jnp.outer(eye[a], gk))
+
+            return jnp.stack([col(a) for a in range(dim)])
+
+        dPs = jax.vmap(dP_for)(g)
+        return dt * V0_p * jnp.einsum("iabc,jc->jiba", dPs, g)   # (s_j, s_i, d, d)
+
+    blocks = jax.vmap(per_particle)(level.st.gwn, F, ctx, V0)
+    rows = gids[:, :, None]                                      # (n, s_j, 1)
+    cols = gids[:, None, :]                                      # (n, 1, s_i)
+    flat = rows * n_nodes + cols                                 # (n, s_j, s_i)
+    A = jnp.zeros((n_nodes * n_nodes + 1, dim * dim), blocks.dtype)
+    A = A.at[flat.reshape(-1)].add(blocks.reshape(-1, dim * dim))[:-1]
+    A = A.reshape(n_nodes, n_nodes, dim, dim)
+    A = jax.lax.psum(A, axis)                                    # agglomerate
+    # inertia on the diagonal (global masses) + BC/inactive projection
+    gm = jax.lax.all_gather(
+        level.grid_m.reshape(level.planes, level.plane_nodes), axis, tiled=True
+    ).reshape(-1)
+    free = jax.lax.all_gather(
+        level.free.reshape(level.planes, level.plane_nodes), axis, tiled=True
+    ).reshape(-1)
+    eye = jnp.eye(dim, dtype=A.dtype)
+    idx = jnp.arange(n_nodes)
+    A = A.at[idx, idx].add(gm[:, None, None] * eye[None])
+    ok = free[:, None] & free[None, :]
+    A = jnp.where(ok[:, :, None, None], A, 0.0)
+    A = A.transpose(0, 2, 1, 3).reshape(n_nodes * dim, n_nodes * dim)
+    diag_fix = jnp.repeat(~free, dim).astype(A.dtype)
+    A = A + jnp.diag(diag_fix)
+    eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
+    A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
+    return jax.scipy.linalg.cho_factor(A)
+
+
+def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
+    """all_gather the coarse rhs, replicated solve, slice the owned planes."""
+    d = b_local.shape[-1]
+    b_full = jax.lax.all_gather(
+        b_local.reshape(level.planes, level.plane_nodes, d), axis, tiled=True
+    ).reshape(-1)
+    x = jax.scipy.linalg.cho_solve(chol, b_full)
+    x = x.reshape(-1, level.plane_nodes, d)
+    dev = jax.lax.axis_index(axis)
+    x_local = jax.lax.dynamic_slice_in_dim(x, dev * level.planes, level.planes, 0)
+    return x_local.reshape(level.planes * level.plane_nodes, d)
+
+
+# ---------------------------------------------------------------------------
+# V-cycle
+# ---------------------------------------------------------------------------
+
+
+def _smooth(level, F, ctx, V0, dt, pre: SMGPrecond, l: int,
+            cfg: MultigridConfig, b, x, iters: int, axis: str, D: int):
+    Dinv = pre.diag_inv[l]
+    if cfg.smoother == "chebyshev":
+        return _chebyshev(level, F, ctx, V0, dt, Dinv, pre.lmax[l], b, x,
+                          max(iters * cfg.chebyshev_order, 1),
+                          cfg.chebyshev_lo, cfg.chebyshev_hi, axis, D)
+    omega = cfg.jacobi_omega
+
+    def body(_, x):
+        r = b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
+        r = level_project(level, r)
+        return x + omega * _bapply(Dinv, r)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def _chebyshev(level, F, ctx, V0, dt, Dinv, lmax, b, x, order, lo, hi,
+               axis, D):
+    lmin = lo * lmax
+    lmx = hi * lmax
+    theta = 0.5 * (lmx + lmin)
+    delta = 0.5 * (lmx - lmin)
+    sigma1 = theta / delta
+
+    def resid(x):
+        return level_project(
+            level, b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
+        )
+
+    r = resid(x)
+    d = level_project(level, _bapply(Dinv, r)) / theta
+    x = x + d
+    rho_prev = 1.0 / sigma1
+
+    def body(_, carry):
+        x, d, rho_prev = carry
+        r = resid(x)
+        z = level_project(level, _bapply(Dinv, r))
+        rho = 1.0 / (2.0 * sigma1 - rho_prev)
+        d = rho * rho_prev * d + (2.0 * rho / delta) * z
+        return (x + d, d, rho)
+
+    x, _, _ = jax.lax.fori_loop(0, order - 1, body, (x, d, rho_prev))
+    return x
+
+
+def restrict(smg: SMGStatic, l: int, r_fine, axis: str, D: int):
+    embed = smg.embeds[l]
+    nxt = smg.levels[l + 1]
+    scatter, _ = make_level_ops(nxt, axis, D)
+    vals = embed.wn[:, :, None] * r_fine[:, None, :]
+    return scatter(embed, vals, 0)
+
+
+def prolong(smg: SMGStatic, l: int, e_coarse, axis: str, D: int):
+    embed = smg.embeds[l]
+    nxt = smg.levels[l + 1]
+    _, gather_st = make_level_ops(nxt, axis, D)
+    ec = gather_st(embed, e_coarse)
+    return jnp.sum(embed.wn[:, :, None] * ec, axis=1)
+
+
+def v_cycle(smg: SMGStatic, pre: SMGPrecond, F, ctx, V0, dt,
+            cfg: MultigridConfig, b, axis: str, D: int, l: int = 0):
+    level = smg.levels[l]
+    x = jnp.zeros_like(b)
+    if l == len(smg.levels) - 1:
+        if cfg.coarse_solver == "direct":
+            x = _coarse_dense_solve(level, pre.coarse_chol, b, axis)
+            return level_project(level, x)
+        if cfg.coarse_solver == "cg":
+            from hot_tpu.solver.cg import cg_solve
+
+            Dinv = pre.diag_inv[l]
+            res = cg_solve(
+                lambda w: level_project(
+                    level, level_multiply(level, F, ctx, V0, dt, w, axis, D)
+                ),
+                b,
+                precondition=lambda r: _bapply(Dinv, r),
+                project=lambda r: level_project(level, r),
+                tol=1e-2,
+                max_iters=cfg.coarse_iters,
+                axis_name=axis,
+            )
+            return res.x
+        return _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x,
+                       cfg.coarse_iters, axis, D)
+    x = _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth,
+                axis, D)
+    r = level_project(
+        level, b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
+    )
+    r_c = level_project(smg.levels[l + 1], restrict(smg, l, r, axis, D))
+    e_c = v_cycle(smg, pre, F, ctx, V0, dt, cfg, r_c, axis, D, l + 1)
+    x = x + level_project(level, prolong(smg, l, e_c, axis, D))
+    x = _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x, cfg.post_smooth,
+                axis, D)
+    return x
+
+
+def mg_precondition(smg: SMGStatic, pre: SMGPrecond, F, V0, dt,
+                    cfg: MultigridConfig, r, axis: str, D: int):
+    ctx = pre.ctx
+    z = v_cycle(smg, pre, F, ctx, V0, dt, cfg, r, axis, D)
+    for _ in range(cfg.cycles - 1):
+        res = r - level_multiply(smg.levels[0], F, ctx, V0, dt, z, axis, D)
+        z = z + v_cycle(smg, pre, F, ctx, V0, dt, cfg,
+                        level_project(smg.levels[0], res), axis, D)
+    return z

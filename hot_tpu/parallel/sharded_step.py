@@ -258,9 +258,31 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
         # assembled with the SAME halo-folded scatter as the forces, so
         # boundary-node blocks match the single-device operator exactly;
         # application is purely node-local (no communication per CG iter).
-        # "multigrid" currently falls back to block_jacobi inside the
-        # sharded step (sharded MG is queued work).
-        if sol.preconditioner in ("block_jacobi", "multigrid"):
+        # multigrid: the sharded node-embedding hierarchy — slab-partitioned
+        # fine levels with halo collectives, agglomerated coarsest solve
+        # (parallel.sharded_mg; SURVEY.md §5.7's design).
+        if sol.preconditioner == "multigrid":
+            from hot_tpu.parallel import sharded_mg as smg_mod
+
+            _, _, constrained = collision.grid_boundary_conditions(
+                node_pos, t, colliders, grid_v=v_star, boundary_margin=2,
+                res=res, dx=dx,
+            )
+            smg = smg_mod.build_static(
+                ps.x, ps.m, dev, res, dx, sol.multigrid.levels, constrained,
+                axis, D, dtype,
+            )
+
+            def build_preconditioner(ctx):
+                return smg_mod.build_precond(
+                    smg, ps.F, ctx, ps.V0, dt, sol.multigrid, dim, axis, D
+                )
+
+            def precondition(pstate, r):
+                return smg_mod.mg_precondition(
+                    smg, pstate, ps.F, ps.V0, dt, sol.multigrid, r, axis, D
+                )
+        elif sol.preconditioner == "block_jacobi":
 
             def build_preconditioner(ctx):
                 D_blocks = obj_mod.elastic_block_diag(

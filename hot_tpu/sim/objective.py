@@ -99,9 +99,10 @@ def residual(model, obj: ObjectiveContext, v, scatter=transfer.default_scatter,
     return project(obj, r)
 
 
-def energy(model, obj: ObjectiveContext, v):
+def energy(model, obj: ObjectiveContext, v,
+           gather_st=transfer.default_gather_stencil):
     """E(v) — used by optional line search and tests."""
-    F_new = updated_F(obj, v)
+    F_new = updated_F(obj, v, gather_st=gather_st)
     psi = jax.vmap(lambda f, m_, l_: cm.psi_from_F(model, f, m_, l_))(
         F_new, obj.mu, obj.lam
     )

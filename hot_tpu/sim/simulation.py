@@ -111,6 +111,14 @@ def _advance_one_step_impl(
         n_tiles = jnp.zeros((), jnp.int32)
     # scatter implementation: binned (scatter-free, TPU) vs plain scatter-add
     use_binned = bin_caps is not None and cfg.grid_backend == "dense"
+    # slot-major solve layout: only the matrix-free Newton path consumes it
+    # (the explicit-BSR assembly and LBFGS baselines stay particle-ordered)
+    use_slots = (
+        use_binned and cfg.solver.matrix_free
+        and cfg.solver.integrator != "explicit"
+        and cfg.solver.nonlinear == "newton"
+    )
+    bins = None
     if use_binned:
         bins = transfer.bin_particles(state.x, dx, res, bin_caps[0], bin_caps[1])
         scatter = transfer.make_binned_scatter(bins, res)
@@ -122,9 +130,41 @@ def _advance_one_step_impl(
         bin_overflow = jnp.zeros((), bool)
     grid_overflow = jnp.logical_or(grid_overflow, bin_overflow)
 
-    grid_m, grid_mv = transfer.p2g_mass_momentum(
-        st, state.v, state.C, state.m, n_nodes, scatter=scatter
-    )
+    if use_slots:
+        # SLOT-MAJOR solve-time layout (docs/KERNEL_PLAN.md): permute every
+        # per-particle array the implicit solve touches into slot order with
+        # ONE gather; all solve transfers then run with exactly one
+        # latency-bound op per direction (see transfer.slot_order).
+        eye_d = jnp.eye(dim, dtype=dtype)
+        (v_s, C_s, m1_s, F_s, V0_s, mu_s, lam_s, wn_s, gwn_s, rel_s), slot_valid = (
+            transfer.slot_order(
+                bins,
+                [state.v, state.C, state.m[:, None], state.F,
+                 state.V0[:, None], state.mu[:, None], state.lam[:, None],
+                 st.wn, st.gwn, st.rel],
+            )
+        )
+        # padding slots: F -> identity so SVD chains stay NaN-free (their
+        # weights/volumes are zero, so they contribute nothing)
+        F_s = jnp.where(slot_valid[:, None, None], F_s, eye_d[None])
+        sol_st = transfer.Stencil(
+            node_ids=jnp.zeros(wn_s.shape, jnp.int32), wn=wn_s, gwn=gwn_s,
+            rel=rel_s,
+        )
+        sol_scatter = transfer.make_slot_scatter(bins, res)
+        sol_gather = transfer.make_slot_gather(bins, res)
+        sol_F, sol_V0 = F_s, V0_s[:, 0]
+        sol_mu, sol_lam = mu_s[:, 0], lam_s[:, 0]
+        grid_m, grid_mv = transfer.p2g_mass_momentum(
+            sol_st, v_s, C_s, m1_s[:, 0], n_nodes, scatter=sol_scatter
+        )
+    else:
+        sol_st, sol_scatter, sol_gather = st, scatter, gather_st
+        sol_F, sol_V0, sol_mu, sol_lam = state.F, state.V0, state.mu, state.lam
+        grid_m, grid_mv = transfer.p2g_mass_momentum(
+            st, state.v, state.C, state.m, n_nodes, scatter=scatter
+        )
+
     active = grid_m > 0
     inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
     v_grid = grid_mv * inv_m[:, None]
@@ -138,10 +178,12 @@ def _advance_one_step_impl(
     v0 = collision.apply_bc_to_velocity(v_star, proj, v_bc)
 
     # ---- implicit solve ---------------------------------------------------
+    # The objective runs on the SLOT-MAJOR arrays when binned (sol_*); on
+    # other paths sol_* alias the particle-order arrays.
     sol = cfg.solver
     objective = obj_mod.make_objective(
-        model, st, state.F, state.V0, state.mu, state.lam,
-        grid_m, v_star, proj, dt, dx, scatter=scatter,
+        model, sol_st, sol_F, sol_V0, sol_mu, sol_lam,
+        grid_m, v_star, proj, dt, dx, scatter=sol_scatter,
     )
 
     # Pallas fused-kernel routing: None = auto (on when tracing for TPU;
@@ -155,19 +197,19 @@ def _advance_one_step_impl(
         build_hess = lambda v: (
             obj_mod.build_hessian(model, objective, v,
                                   project_spd=sol.project_hessian,
-                                  gather_st=gather_st),
+                                  gather_st=sol_gather),
             None,
         )
         multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
-                                                  scatter=scatter,
-                                                  gather_st=gather_st,
+                                                  scatter=sol_scatter,
+                                                  gather_st=sol_gather,
                                                   fused=fused_apply)
 
         def lin(v):
             # fused residual + Hessian (one SVD chain per Newton iteration)
             r, hess = obj_mod.linearize(
                 model, objective, v, project_spd=sol.project_hessian,
-                scatter=scatter, gather_st=gather_st,
+                scatter=sol_scatter, gather_st=sol_gather,
                 fused=fused_lin,
             )
             return r, (hess, None)
@@ -208,8 +250,8 @@ def _advance_one_step_impl(
         # block-diagonal of M + dt^2 K (HOT's --Ainv option)
         def build_precond(hp):
             D = obj_mod.elastic_block_diag(
-                st, state.F, hp[0].ctx, state.V0, dt, grid_m, active, dim,
-                scatter=scatter,
+                sol_st, sol_F, hp[0].ctx, sol_V0, dt, grid_m, active, dim,
+                scatter=sol_scatter,
             )
             return jnp.linalg.inv(D)
 
@@ -226,9 +268,22 @@ def _advance_one_step_impl(
             bin_caps=(bin_caps if use_binned else None),
         )
 
+        def _ctx_particle_order(ctx):
+            # the MG hierarchy is particle-indexed; under the slot-major
+            # solve the finest-level ctx arrives slot-ordered — permute it
+            # back with ONE packed gather per Newton iteration
+            if not use_slots:
+                return ctx
+            n = state.x.shape[0]
+            U, V, A, bp, bm = transfer.particle_order(
+                bins, [ctx.U, ctx.V, ctx.A, ctx.b_plus, ctx.b_minus], n
+            )
+            return cm.HessianContext(U=U, V=V, A=A, b_plus=bp, b_minus=bm)
+
         def build_precond(hp):
             return mg_mod.build_precond(
-                mg_static, state.F, hp[0].ctx, state.V0, dt, sol.multigrid, dim
+                mg_static, state.F, _ctx_particle_order(hp[0].ctx), state.V0,
+                dt, sol.multigrid, dim
             )
 
         def precond(pstate, r):
@@ -284,8 +339,9 @@ def _advance_one_step_impl(
         )
     else:
         result: NewtonResult = newton_solve(
-            residual=lambda v: obj_mod.residual(model, objective, v, scatter=scatter,
-                                                gather_st=gather_st),
+            residual=lambda v: obj_mod.residual(model, objective, v,
+                                                scatter=sol_scatter,
+                                                gather_st=sol_gather),
             build_hessian=build_hess,
             multiply=multiply,
             project=lambda r: obj_mod.project(objective, r),
@@ -300,7 +356,8 @@ def _advance_one_step_impl(
             max_cg=sol.max_cg,
             adaptive_forcing=sol.adaptive_forcing,
             linear_solver=sol.linear_solver,
-            energy=lambda v: obj_mod.energy(model, objective, v),
+            energy=lambda v: obj_mod.energy(model, objective, v,
+                                            gather_st=sol_gather),
             line_search=sol.line_search,
             linearize=lin,
         )

@@ -114,3 +114,77 @@ def test_block_diag_matches_objective():
     np.testing.assert_allclose(
         np.asarray(D_bsr)[valid], np.asarray(D_obj_rows)[valid], rtol=1e-9, atol=1e-9
     )
+
+def test_spmv_tiled_matches(rng):
+    """Tile-ordered rows + supertile-window SpMV == compressed-row SpMV."""
+    from hot_tpu.grid import sparse as sparse_mod
+    from hot_tpu.ops import bsr_tiled
+
+    mat, obj, hess, state, gm, active, n_nodes = _setup()
+    res = mat.res
+    dx = obj.stencil.rel.shape  # unused; dx comes from scene
+    # tile grid over the same particles
+    from hot_tpu.scenes import build_scene
+
+    scene = build_scene("block_drop_2d", res=24, E=1e6, dtype=jnp.float64)
+    cfg = scene["cfg"]
+    tgrid = sparse_mod.build_tile_grid(state.x, cfg.dx, res, capacity=64)
+    tmat = bsr_tiled.structure_tiled(tgrid)
+    st = transfer.particle_stencil(state.x, cfg.dx, res)
+    dt = 3e-3
+    tmat = bsr.assemble_hessian(tmat, st, state.F, hess.ctx, state.V0, dt, gm)
+    nbr = bsr_tiled.tile_neighbors(tgrid)
+
+    x_grid = jnp.asarray(rng.standard_normal((n_nodes, 2)))
+    want = bsr.rows_to_grid_vector(mat, bsr.spmv(mat, bsr.grid_vector_to_rows(mat, x_grid)), n_nodes)
+    x_rows = bsr.grid_vector_to_rows(tmat, x_grid)
+    y_rows = bsr_tiled.spmv_tiled(tmat, tgrid, nbr, x_rows)
+    got = bsr.rows_to_grid_vector(tmat, y_rows, n_nodes)
+    mask = np.asarray(active)
+    np.testing.assert_allclose(
+        np.asarray(got)[mask], np.asarray(want)[mask], rtol=1e-9, atol=1e-9
+    )
+
+
+def test_spmv_tiled_matches_3d(rng):
+    """3D supertile windows (12^3 -> 8^3) against the compressed-row SpMV."""
+    from hot_tpu.grid import sparse as sparse_mod
+    from hot_tpu.ops import bsr_tiled
+    from hot_tpu.scenes import build_scene
+
+    scene = build_scene("twisting_bar_3d", res=16, ppc=4, dtype=jnp.float64)
+    cfg, state, model = scene["cfg"], scene["state"], scene["model"]
+    rng3 = np.random.default_rng(7)
+    state = state.replace(
+        F=state.F + 0.03 * jnp.asarray(rng3.standard_normal(state.F.shape))
+    )
+    res = cfg.grid_res[:3]
+    n_nodes = transfer.n_nodes_of(res)
+    st = transfer.particle_stencil(state.x, cfg.dx, res)
+    gm, _ = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+    active = gm > 0
+    obj = obj_mod.make_objective(
+        model, st, state.F, state.V0, state.mu, state.lam, gm,
+        jnp.zeros((n_nodes, 3)),
+        jnp.broadcast_to(jnp.eye(3), (n_nodes, 3, 3)), 2e-3, cfg.dx,
+    )
+    hess = obj_mod.build_hessian(model, obj, jnp.zeros((n_nodes, 3)))
+
+    mat = bsr.structure(active, res, capacity=int(np.asarray(active).sum()) + 8)
+    mat = bsr.assemble_hessian(mat, st, state.F, hess.ctx, state.V0, 2e-3, gm)
+
+    tgrid = sparse_mod.build_tile_grid(state.x, cfg.dx, res, capacity=64)
+    tmat = bsr_tiled.structure_tiled(tgrid)
+    tmat = bsr.assemble_hessian(tmat, st, state.F, hess.ctx, state.V0, 2e-3, gm)
+    nbr = bsr_tiled.tile_neighbors(tgrid)
+
+    x_grid = jnp.asarray(rng.standard_normal((n_nodes, 3)))
+    want = bsr.rows_to_grid_vector(
+        mat, bsr.spmv(mat, bsr.grid_vector_to_rows(mat, x_grid)), n_nodes
+    )
+    y_rows = bsr_tiled.spmv_tiled(tmat, tgrid, nbr, bsr.grid_vector_to_rows(tmat, x_grid))
+    got = bsr.rows_to_grid_vector(tmat, y_rows, n_nodes)
+    mask = np.asarray(active)
+    np.testing.assert_allclose(
+        np.asarray(got)[mask], np.asarray(want)[mask], rtol=1e-9, atol=1e-9
+    )

@@ -138,3 +138,59 @@ def test_energy_dissipation_monotone_after_settle():
     e0_fall = total[5]
     assert max(total) < 50 * max(e0_fall, 1e-6), "energy blew up"
     assert np.isfinite(total).all()
+
+
+def test_binned_slot_step_matches_scatter():
+    """The slot-major binned solve path (transfer_impl='binned') takes the
+    same trajectory as the plain scatter path — through impact, where the
+    implicit solve does real work (docs/KERNEL_PLAN.md slot-major layout)."""
+    import dataclasses
+
+    scene_a = small_drop()
+    sim_a = make_sim(scene_a)
+
+    scene_b = small_drop()
+    cfg_b = dataclasses.replace(scene_b["cfg"], transfer_impl="binned")
+    sim_b = Simulation(
+        cfg_b, scene_b["state"], scene_b["model"], scene_b["colliders"],
+        plasticity=scene_b["plasticity"],
+    )
+    assert sim_b._choose_bin_caps() is not None
+
+    for k in range(12):
+        sa = sim_a.step(6e-3)
+        sb = sim_b.step(6e-3)
+        assert int(sa.newton_iters) == int(sb.newton_iters), f"step {k}"
+        assert int(sa.cg_iters) == int(sb.cg_iters), f"step {k}"
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.v), np.asarray(sim_a.state.v), atol=1e-8
+    )
+
+
+def test_binned_slot_step_multigrid_matches():
+    """Slot-major solve + MG preconditioner (ctx re-permuted to particle
+    order for the hierarchy) == scatter path with MG."""
+    import dataclasses
+
+    def mg_sim(impl):
+        scene = small_drop()
+        sol = dataclasses.replace(scene["cfg"].solver, preconditioner="multigrid")
+        cfg = dataclasses.replace(scene["cfg"], solver=sol, transfer_impl=impl)
+        return Simulation(
+            cfg, scene["state"], scene["model"], scene["colliders"],
+            plasticity=scene["plasticity"],
+        )
+
+    sim_a = mg_sim("scatter")
+    sim_b = mg_sim("binned")
+    for k in range(6):
+        sa = sim_a.step(6e-3)
+        sb = sim_b.step(6e-3)
+        assert int(sa.newton_iters) == int(sb.newton_iters), f"step {k}"
+        assert int(sa.cg_iters) == int(sb.cg_iters), f"step {k}"
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
+    )

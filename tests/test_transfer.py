@@ -110,3 +110,51 @@ def test_scatter_gather_adjoint(rng):
     lhs = jnp.sum(transfer.gather(g, st.node_ids) * pv)
     rhs = jnp.sum(g * transfer.scatter_sum(st.node_ids, pv, n_nodes))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def _bins_setup(rng, dim=2, res=(16, 16), n=300):
+    dx = 1.0 / 16
+    lo, hi = 2.5 * dx, (res[0] - 3.5) * dx
+    x = jnp.asarray(rng.uniform(lo, hi, size=(n, dim)))
+    st = transfer.particle_stencil(x, dx, res)
+    bins = transfer.bin_particles(x, dx, res, cells_cap=512, cap=32)
+    assert not bool(bins.overflow)
+    return x, st, bins, dx
+
+
+def test_binned_scatter_matches_scatter_sum(rng):
+    x, st, bins, dx = _bins_setup(rng)
+    n, s = st.wn.shape
+    n_nodes = transfer.n_nodes_of((16, 16))
+    vals = jnp.asarray(rng.standard_normal((n, s, 3)))
+    want = transfer.scatter_sum(st.node_ids, vals, n_nodes)
+    got = transfer.binned_scatter(bins, vals, (16, 16))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_slot_scatter_gather_match(rng):
+    """Slot-major scatter/gather == particle-order scatter/gather (the
+    zero-dynamic-indexing layout of docs/KERNEL_PLAN.md)."""
+    x, st, bins, dx = _bins_setup(rng)
+    n, s = st.wn.shape
+    res = (16, 16)
+    n_nodes = transfer.n_nodes_of(res)
+    vals = jnp.asarray(rng.standard_normal((n, s, 3)))
+
+    # slot_order / particle_order round trip
+    (vals_s, wn_s), valid = transfer.slot_order(bins, [vals, st.wn])
+    (vals_back,) = transfer.particle_order(bins, [vals_s], n)
+    np.testing.assert_allclose(np.asarray(vals_back), np.asarray(vals), atol=0)
+    assert int(valid.sum()) == n
+
+    # scatter equality
+    want = transfer.scatter_sum(st.node_ids, vals, n_nodes)
+    got = transfer.make_slot_scatter(bins, res)(st, vals_s, n_nodes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+    # gather equality (slot rows of real particles == particle gather)
+    g = jnp.asarray(rng.standard_normal((n_nodes, 2)))
+    got_rows = transfer.make_slot_gather(bins, res)(st, g)
+    (got_p,) = transfer.particle_order(bins, [got_rows], n)
+    want_g = transfer.gather(g, st.node_ids)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_g), atol=0)
