@@ -77,3 +77,47 @@ def test_sharded_step_matches_single_device(n_devices):
     np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9)
     np.testing.assert_allclose(np.asarray(state.v), ref.v, atol=1e-8)
     np.testing.assert_allclose(np.asarray(state.F), ref.F, atol=1e-8)
+
+
+@pytest.mark.parametrize("coarse_solver", ["direct", "smoother"])
+def test_sharded_step_multigrid_matches(coarse_solver):
+    """Sharded MG preconditioner (slab levels + halo collectives +
+    agglomerated coarsest solve, parallel/sharded_mg) == single-device MG:
+    identical Newton/CG counts and trajectories through impact."""
+    import dataclasses
+
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    mgc = dataclasses.replace(
+        scene["cfg"].solver.multigrid, levels=2, coarse_solver=coarse_solver
+    )
+    sol = dataclasses.replace(
+        scene["cfg"].solver, preconditioner="multigrid", multigrid=mgc
+    )
+    cfg = dataclasses.replace(scene["cfg"], solver=sol)
+
+    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    n_steps = 58
+    for _ in range(n_steps):
+        sim.step(5e-3)
+    ref = jax.tree_util.tree_map(np.asarray, sim.state)
+    ref_cg = sum(r["cg_iters"] for r in sim.metrics.records)
+    ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
+    assert ref_newton > 0  # impact engaged the solver
+
+    mesh = make_mesh((4,), ("x",))
+    step = make_sharded_step(
+        mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
+    )
+    state = scene["state"]
+    tot_newton = tot_cg = 0
+    t = 0.0
+    for _ in range(n_steps):
+        state, stats = step(state, jnp.float64(5e-3), jnp.float64(t))
+        tot_newton += int(stats.newton_iters)
+        tot_cg += int(stats.cg_iters)
+        t += 5e-3
+
+    assert tot_newton == ref_newton, (tot_newton, ref_newton)
+    assert abs(tot_cg - ref_cg) <= 2, (tot_cg, ref_cg)
+    np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), ref.v, atol=1e-8)
