@@ -181,3 +181,136 @@ def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
     vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
     y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
     return y.reshape(T * tn, d)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-lane ("T") formulation + Pallas multiply-reduce kernel
+# ---------------------------------------------------------------------------
+#
+# spmv_tiled still pays for materializing the supercube and the (T, tn, K, d)
+# window array in HBM between XLA ops, and its final reduction runs over
+# non-minor axes. The formulation below puts the ROW index on the LANE axis
+# (the natural wide dimension: R = capacity * tile_nodes >> 128):
+#
+#   valsT: (d*d, K, R)   — A's blocks, transposed ONCE per Newton/assembly
+#                          (amortized over every CG/smoother application);
+#   idx2:  (K, R) int32  — for row r and stencil offset k, the compacted row
+#                          holding x's value, built ONCE per structure from
+#                          the neighbor-tile table (no supercube at apply);
+#   xw = xT[:, idx2]     — ONE XLA gather (d, K, R);
+#   y[i, r] = sum_k sum_j valsT[i*d+j, k, r] * xw[j, k, r]
+#            — a Pallas VPU kernel over perfectly tiled (K, RC) blocks.
+#
+# Solver vectors stay in the transposed (d, R) layout across iterations
+# (CG/Chebyshev are elementwise/dots — layout-agnostic); conversion happens
+# once per solve at the ends.
+
+
+def build_gather_index(tgrid: sparse_mod.TileGrid, nbr: jax.Array) -> jax.Array:
+    """(K, R) int32: source compacted row of x for (stencil offset k, row r).
+
+    Entries whose neighbor tile is inactive/out-of-domain point at the dump
+    block [R, R+tn) (zero by construction in xT). Built once per structure.
+    """
+    import numpy as _np
+
+    dim = tgrid.dim
+    tile = tgrid.tile
+    tn = tgrid.tile_nodes
+    T = tgrid.capacity
+    K = 5**dim
+
+    rngt = _np.arange(tile)
+    lidx = _np.stack(_np.meshgrid(*([rngt] * dim), indexing="ij"), -1).reshape(-1, dim)
+    rng5 = _np.arange(5)
+    offs = _np.stack(_np.meshgrid(*([rng5] * dim), indexing="ij"), -1).reshape(-1, dim)
+    # supercube coordinate per axis: w_a = (tile - half) + n_a + k_a, half = 2
+    w = (tile - 2) + lidx[:, None, :] + offs[None, :, :]        # (tn, K, dim)
+    ta = w // tile                                              # neighbor offset 0..2
+    la = w - ta * tile                                          # local coord
+    nt = _np.zeros(w.shape[:2], _np.int64)
+    ln = _np.zeros(w.shape[:2], _np.int64)
+    for a in range(dim):
+        nt = nt * 3 + ta[:, :, a]
+        ln = ln * tile + la[:, :, a]
+    nt_j = jnp.asarray(nt, jnp.int32)                           # (tn, K)
+    ln_j = jnp.asarray(ln, jnp.int32)
+    # nbr: (T, 3^dim) neighbor SLOT per tile; invalid = capacity (dump tile)
+    src_tile = nbr[:, nt_j]                                     # (T, tn, K)
+    idx = src_tile * tn + ln_j[None]                            # (T, tn, K)
+    return idx.reshape(T * tn, K).T.astype(jnp.int32)           # (K, R)
+
+
+def transpose_vals(mat: bsr_mod.BsrMatrix, dim: int) -> jax.Array:
+    """(R, K, d, d) block values -> (d*d, K, R) lane-major layout."""
+    vals = mat.vals                                             # (R, K, d, d)
+    R, K = vals.shape[0], vals.shape[1]
+    return vals.reshape(R, K, dim * dim).transpose(2, 1, 0)     # (d*d, K, R)
+
+
+def _reduce_kernel(d: int):
+    def kernel(vals_ref, xw_ref, y_ref):
+        rows = []
+        for i in range(d):
+            acc = vals_ref[i * d] * xw_ref[0]
+            for j in range(1, d):
+                acc = acc + vals_ref[i * d + j] * xw_ref[j]     # (K, RC)
+            rows.append(jnp.sum(acc, axis=0, keepdims=True))    # (1, RC)
+        y_ref[:, :] = jnp.concatenate(rows, axis=0)             # (d, RC)
+
+    return kernel
+
+
+def spmv_T(valsT: jax.Array, idx2: jax.Array, xT: jax.Array,
+           *, chunk: int = 2048, interpret: bool | None = None) -> jax.Array:
+    """y = A x in the transposed layout: xT (d, R) -> yT (d, R).
+
+    ONE XLA gather (windows, via idx2) + one Pallas VPU multiply-reduce over
+    (K, chunk) lane blocks. Rows are padded internally to a chunk multiple.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dd, K, R = valsT.shape
+    d = int(round(dd ** 0.5))
+    assert idx2.shape == (K, R), (idx2.shape, (K, R))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Rp = -(-R // chunk) * chunk
+    # x with dump block: one tile (4^d nodes) of zeros that every
+    # invalid/out-of-domain idx2 entry points into
+    x_full = jnp.concatenate([xT, jnp.zeros((d, 4 ** d), xT.dtype)], axis=1)
+    xw = x_full[:, idx2]                                        # (d, K, R)
+    if Rp != R:
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, Rp - R)))
+        valsT = jnp.pad(valsT, ((0, 0), (0, 0), (0, Rp - R)))
+
+    grid = (Rp // chunk,)
+    y = pl.pallas_call(
+        _reduce_kernel(d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((dd, K, chunk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, K, chunk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, chunk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, Rp), valsT.dtype),
+        interpret=interpret,
+    )(valsT, xw)
+    return y[:, :R]
+
+
+def spmv_tiled_pallas(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
+                      nbr: jax.Array, x, *, interpret: bool | None = None):
+    """Row-layout convenience wrapper: x (R, d) -> y (R, d). Equivalent to
+    spmv_tiled / bsr.spmv — tested in tests/test_bsr.py. For hot loops use
+    spmv_T directly and keep vectors transposed across iterations."""
+    dim = tgrid.dim
+    valsT = transpose_vals(mat, dim)
+    idx2 = build_gather_index(tgrid, nbr)
+    yT = spmv_T(valsT, idx2, x.T, interpret=interpret)
+    return yT.T

@@ -445,19 +445,16 @@ class Simulation:
         self.t = 0.0
         self.step_count = 0
         self.retry_count = 0
-        self._step = jax.jit(
-            functools.partial(
-                advance_one_step,
-                cfg=cfg,
-                model=model,
-                colliders=self.colliders,
-                plasticity=plasticity,
-                bin_caps=self._choose_bin_caps(),
-            )
-        )
+        self._rebuild_step(self._choose_bin_caps())
 
-    def _choose_bin_caps(self) -> Optional[Tuple[int, int]]:
-        """Pick static bin capacities from the initial state (host-side)."""
+    def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
+        """Pick static bin capacities from the current state (host-side).
+
+        Deliberately tight: padded slot count multiplies the per-slot work
+        of the slot-major solve path (docs/KERNEL_PLAN.md "padding tax"), so
+        caps hug the measured occupancy and `step()` regrows + recompiles on
+        overflow instead (the capacity policy of SURVEY.md §7 hard-part 2).
+        """
         cfg = self.cfg
         impl = cfg.transfer_impl
         if impl == "auto":
@@ -474,9 +471,22 @@ class Simulation:
         strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
         cells = (base * strides).sum(axis=1)
         uniq, counts = np.unique(cells, return_counts=True)
-        cells_cap = cfg.bin_cells_capacity or int(1.5 * len(uniq) + 64)
-        cap = cfg.bin_cap or int(2 * counts.max() + 2)
+        cells_cap = cfg.bin_cells_capacity or int(grow * (1.15 * len(uniq) + 16))
+        cap = cfg.bin_cap or int(np.ceil(grow * (counts.max() + 1)))
         return (cells_cap, cap)
+
+    def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]]):
+        self._bin_caps = bin_caps
+        self._step = jax.jit(
+            functools.partial(
+                advance_one_step,
+                cfg=self.cfg,
+                model=self.model,
+                colliders=self.colliders,
+                plasticity=self.plasticity,
+                bin_caps=bin_caps,
+            )
+        )
 
     def compute_dt(self) -> float:
         """CFL-rate dt (reference: calculateDt): particles move <= cfl cells."""
@@ -494,24 +504,41 @@ class Simulation:
         at CFL-rate stepping; also the recovery path for fault injection)."""
         dt = self.compute_dt() if dt is None else dt
         prev_state = self.state
-        for attempt in range(self.cfg.solver.dt_retries + 1):
+        attempt = 0
+        regrows = 0
+        while True:
             with self.timer.scope("advance_one_step"):
                 new_state, stats = self._step(prev_state, dt, self.t)
                 jax.block_until_ready(new_state.x)
+            if bool(stats.grid_overflow):
+                # capacity policy (SURVEY.md §7 hard-part 2): static tables
+                # are sized tight; on overflow, regrow + recompile (amortized)
+                # and redo the step — the overflowed result dropped particles.
+                if self._bin_caps is None or regrows >= 8:
+                    raise RuntimeError(
+                        f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
+                        f" of {self.cfg.tile_capacity} tiles); raise "
+                        "cfg.tile_capacity"
+                    )
+                regrows += 1
+                old = self._bin_caps
+                # recompute from the CURRENT particle layout, with headroom,
+                # and force strict growth so the retry cannot overflow again
+                fresh = self._choose_bin_caps(grow=1.3) or old
+                new_caps = (max(fresh[0], old[0] + 64), max(fresh[1], old[1] + 2))
+                self.metrics.log(event="bin_regrow", old=list(old), new=list(new_caps))
+                self._rebuild_step(new_caps)
+                continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))
             )
-            if finite and (bool(stats.converged) or attempt == self.cfg.solver.dt_retries):
+            if finite and (bool(stats.converged) or attempt >= self.cfg.solver.dt_retries):
                 break
+            attempt += 1
             dt = dt * 0.5
             self.retry_count += 1
-            self.metrics.log(event="dt_retry", attempt=attempt + 1, dt=dt)
+            self.metrics.log(event="dt_retry", attempt=attempt, dt=dt)
         self.state = new_state
-        if bool(stats.grid_overflow):
-            raise RuntimeError(
-                f"sparse tile capacity exceeded ({int(stats.active_tiles)} of "
-                f"{self.cfg.tile_capacity} tiles); raise cfg.tile_capacity"
-            )
         self.t += dt
         self.step_count += 1
         self.metrics.log(

@@ -188,3 +188,46 @@ def test_spmv_tiled_matches_3d(rng):
     np.testing.assert_allclose(
         np.asarray(got)[mask], np.asarray(want)[mask], rtol=1e-9, atol=1e-9
     )
+
+
+def test_spmv_transposed_pallas_matches(rng):
+    """Transposed-lane Pallas SpMV (spmv_T) == supertile SpMV, 2D and 3D.
+
+    Runs the kernel in interpret mode on CPU (the sanitizer of SURVEY.md
+    §5.2); on TPU the same code path compiles via Mosaic.
+    """
+    from hot_tpu.grid import sparse as sparse_mod
+    from hot_tpu.ops import bsr_tiled
+    from hot_tpu.scenes import build_scene
+
+    for scene_name, res_n, dim in [("block_drop_2d", 24, 2),
+                                   ("twisting_bar_3d", 16, 3)]:
+        scene = build_scene(scene_name, res=res_n,
+                            **({"E": 1e6} if dim == 2 else {"ppc": 4}),
+                            dtype=jnp.float64)
+        cfg, state, model = scene["cfg"], scene["state"], scene["model"]
+        res = cfg.grid_res[:dim]
+        n_nodes = transfer.n_nodes_of(res)
+        st = transfer.particle_stencil(state.x, cfg.dx, res)
+        gm, _ = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+        obj = obj_mod.make_objective(
+            model, st, state.F, state.V0, state.mu, state.lam, gm,
+            jnp.zeros((n_nodes, dim)),
+            jnp.broadcast_to(jnp.eye(dim), (n_nodes, dim, dim)), 2e-3, cfg.dx,
+        )
+        hess = obj_mod.build_hessian(model, obj, jnp.zeros((n_nodes, dim)))
+
+        tgrid = sparse_mod.build_tile_grid(state.x, cfg.dx, res, capacity=64)
+        tmat = bsr_tiled.structure_tiled(tgrid)
+        tmat = bsr.assemble_hessian(tmat, st, state.F, hess.ctx, state.V0, 2e-3, gm)
+        nbr = bsr_tiled.tile_neighbors(tgrid)
+
+        x_rows = jnp.asarray(
+            rng.standard_normal((tgrid.capacity * tgrid.tile_nodes, dim))
+        )
+        want = bsr_tiled.spmv_tiled(tmat, tgrid, nbr, x_rows)
+        got = bsr_tiled.spmv_tiled_pallas(tmat, tgrid, nbr, x_rows)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-9,
+            err_msg=scene_name,
+        )

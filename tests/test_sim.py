@@ -194,3 +194,33 @@ def test_binned_slot_step_multigrid_matches():
     np.testing.assert_allclose(
         np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
     )
+
+
+def test_bin_overflow_regrows_and_matches():
+    """Static bin tables are sized tight and REGROWN on overflow (SURVEY.md
+    §7 hard-part 2's capacity policy): force a tiny per-cell cap, verify the
+    step recompiles with larger caps and still matches the scatter path."""
+    import dataclasses
+
+    scene_a = small_drop()
+    sim_a = make_sim(scene_a)
+
+    scene_b = small_drop()
+    cfg_b = dataclasses.replace(
+        scene_b["cfg"], transfer_impl="binned", bin_cap=1
+    )
+    sim_b = Simulation(
+        cfg_b, scene_b["state"], scene_b["model"], scene_b["colliders"],
+        plasticity=scene_b["plasticity"],
+    )
+    caps0 = sim_b._bin_caps
+    assert caps0[1] == 1  # deliberately too small
+
+    for k in range(3):
+        sa = sim_a.step(6e-3)
+        sb = sim_b.step(6e-3)
+        assert int(sa.newton_iters) == int(sb.newton_iters), f"step {k}"
+    assert sim_b._bin_caps[1] > 1  # regrow happened
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
+    )
