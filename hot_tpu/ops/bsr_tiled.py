@@ -262,17 +262,25 @@ def _reduce_kernel(d: int):
 
 
 def spmv_T(valsT: jax.Array, idx2: jax.Array, xT: jax.Array,
-           *, chunk: int = 2048, interpret: bool | None = None) -> jax.Array:
+           *, chunk: int | None = None, interpret: bool | None = None) -> jax.Array:
     """y = A x in the transposed layout: xT (d, R) -> yT (d, R).
 
     ONE XLA gather (windows, via idx2) + one Pallas VPU multiply-reduce over
     (K, chunk) lane blocks. Rows are padded internally to a chunk multiple.
+    chunk defaults to the largest power-of-two lane block whose double-buffered
+    input blocks fit the ~16MB scoped-VMEM budget.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dd, K, R = valsT.shape
     d = int(round(dd ** 0.5))
+    if chunk is None:
+        # 2 pipeline buffers x (valsT block dd*K + xw block d*K) fp32 per lane
+        per_lane = 2 * (dd + d) * K * 4
+        chunk = 128
+        while chunk * 2 * per_lane <= 14 * 2 ** 20:
+            chunk *= 2
     assert idx2.shape == (K, R), (idx2.shape, (K, R))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
