@@ -184,6 +184,125 @@ def assemble_hessian(
     return mat._replace(vals=vals)
 
 
+def dpdf_tensor(ctx, dim: int):
+    """Per-particle dPdF as an explicit (n, d, d, a, c) tensor:
+    T[:, :, a, c] = dPdF : (e_a e_c^T) — d^2 apply_hessian columns
+    (apply_hessian is linear in dF)."""
+    eye = jnp.eye(dim)
+
+    def per_particle(ctx_p):
+        cols = [
+            [cm.apply_hessian(ctx_p, jnp.outer(eye[a], eye[c]))
+             for c in range(dim)]
+            for a in range(dim)
+        ]
+        # cols[a][c] is (b, bc'); stack -> (b, c', a, c)
+        return jnp.stack(
+            [jnp.stack(cols_a, axis=-1) for cols_a in cols], axis=-2
+        )
+
+    return jax.vmap(per_particle)(ctx)
+
+
+def assemble_hessian_binned(
+    mat: BsrMatrix, bins, stencil: transfer.Stencil, F_n, ctx, V0, dt, grid_m,
+    j_chunk: int = 9,
+) -> BsrMatrix:
+    """Scatter-free BSR assembly (docs/KERNEL_PLAN.md): the colliding
+    729-blocks-per-particle scatter of assemble_hessian serializes on
+    XLA:TPU (measured 4.2 s at 52k particles / 64^3). This path mirrors
+    the binned transfers (component #26's coloring, TPU-shaped):
+
+      block[j,i][b,a] = dt^2 V0 sum_{c,e} g_j[c] T[b,c,a,e] g_i[e]
+                        (T = per-particle dPdF, g_k = F^T grad-w_k)
+
+      1. T (d^2 apply_hessian columns) + g per particle, ONE row gather
+         into (cell, slot) order;
+      2. per-cell block sums = two batched contractions (MXU matmuls,
+         no scatters): K1 = T x g_j, then contract (slot, e) against g_i;
+      3. per j-offset: ONE unique-index row scatter of (cells, 3^dim)
+         i-blocks at STATIC column offsets (cell -> node_j is injective
+         for fixed j; relative offsets are particle-independent).
+
+    Requires particles >= one cell inside the domain (the sim invariant,
+    enforced by advection clipping) so node ids are base + offset with no
+    clipping. Equivalent to assemble_hessian — tested in tests/test_bsr.py.
+    """
+    import numpy as _np
+
+    dim = mat.dim
+    assert mat.half == 2
+    K = mat.K
+    s = stencil.wn.shape[1]
+    n = stencil.wn.shape[0]
+    n_nodes = transfer.n_nodes_of(mat.res)
+    n_rows = mat.n_rows
+    cells_cap, cap = bins.p_cell.shape
+
+    g = jnp.einsum("pkd,pde->pke", stencil.gwn, F_n)            # (n, s, d)
+    T = dpdf_tensor(ctx, dim) * (dt * dt * V0)[:, None, None, None, None]
+
+    # one packed row gather into slot order (pad particle -> zero row)
+    parr = bins.p_cell.reshape(-1)
+    packed = jnp.concatenate(
+        [g.reshape(n, -1), T.reshape(n, -1)], axis=1
+    )
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    rows = packed[parr]
+    rows = transfer.barrier(rows)
+    g_s = rows[:, : s * dim].reshape(cells_cap, cap, s, dim)
+    T_s = rows[:, s * dim:].reshape(cells_cap, cap, dim, dim, dim, dim)
+
+    # per-cell block sums, chunked over the j offset to bound the K1 buffer
+    blk_chunks = []
+    for j0 in range(0, s, j_chunk):
+        g_j = g_s[:, :, j0: j0 + j_chunk]                       # (x, p, jc, d)
+        K1 = jnp.einsum("xpbcae,xpjc->xpjbae", T_s, g_j)
+        blk_chunks.append(jnp.einsum("xpjbae,xpie->xjiba", K1, g_s))
+    blocks = jnp.concatenate(blk_chunks, axis=1)                # (x, s_j, s_i, d, d)
+
+    # static offset-id table: column slot of (i relative to j) in [0, 5)^dim
+    rng3 = _np.arange(3)
+    offs = _np.stack(
+        _np.meshgrid(*([rng3] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)                                          # matches stencil order
+    rel = offs[None, :, :] - offs[:, None, :] + 2               # (j, i, dim)
+    off_id = _np.zeros((s, s), _np.int64)
+    for a in range(dim):
+        off_id = off_id * 5 + rel[:, :, a]
+    node_strides = _np.array(
+        [int(_np.prod(mat.res[a + 1:])) for a in range(dim)], _np.int64
+    )
+    joff_flat = (offs * node_strides[None, :]).sum(axis=1)      # (s,)
+
+    valid_cell = bins.active_cells < n_nodes
+    # padded buffer with per-cell distinct dump rows -> every scatter's
+    # indices are truly unique (XLA parallelizes unique scatters)
+    vals = jnp.zeros((n_rows + cells_cap, K, dim * dim), blocks.dtype)
+    dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
+    for j in range(s):
+        node_j = bins.active_cells + int(joff_flat[j])
+        r_j = mat.row_of[jnp.clip(node_j, 0, n_nodes - 1)]
+        r_j = jnp.where(valid_cell & (r_j >= 0), r_j, dump_rows)
+        cols_j = jnp.asarray(off_id[j], jnp.int32)              # (s_i,) static
+        vals = vals.at[r_j[:, None], cols_j[None, :]].add(
+            blocks[:, j].reshape(cells_cap, s, dim * dim),
+            unique_indices=True,
+        )
+    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
+
+    # inertia: m_i I at the center offset
+    center = (K - 1) // 2
+    m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
+    m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
+    eye = jnp.eye(dim, dtype=vals.dtype)
+    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
+    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
+    return mat._replace(vals=vals)
+
+
 def spmv(mat: BsrMatrix, x):
     """y = A x on row vectors x: (n_rows, d)."""
     safe_cols = jnp.maximum(mat.col_row, 0)

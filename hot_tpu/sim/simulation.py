@@ -58,6 +58,7 @@ def advance_one_step(
     colliders: Sequence[collision.Collider],
     plasticity: Optional[str] = None,
     bin_caps: Optional[Tuple[int, int]] = None,  # (cells_capacity, per-cell cap)
+    mg_tile_caps: Optional[Tuple[int, ...]] = None,  # per-MG-level tile caps
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -71,7 +72,7 @@ def advance_one_step(
     with jax.default_matmul_precision("highest"):
         return _advance_one_step_impl(
             state, dt, t, cfg=cfg, model=model, colliders=colliders,
-            plasticity=plasticity, bin_caps=bin_caps,
+            plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
         )
 
 
@@ -85,6 +86,7 @@ def _advance_one_step_impl(
     colliders: Sequence[collision.Collider],
     plasticity: Optional[str] = None,
     bin_caps: Optional[Tuple[int, int]] = None,
+    mg_tile_caps: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -266,7 +268,10 @@ def _advance_one_step_impl(
             state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype,
             tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
             bin_caps=(bin_caps if use_binned else None),
+            mg_tile_caps=(mg_tile_caps if cfg.grid_backend == "dense" else None),
         )
+        if mg_static.overflow is not None:
+            grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
 
         def _ctx_particle_order(ctx):
             # the MG hierarchy is particle-indexed; under the slot-major
@@ -445,7 +450,7 @@ class Simulation:
         self.t = 0.0
         self.step_count = 0
         self.retry_count = 0
-        self._rebuild_step(self._choose_bin_caps())
+        self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps())
 
     def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
         """Pick static bin capacities from the current state (host-side).
@@ -475,8 +480,44 @@ class Simulation:
         cap = cfg.bin_cap or int(np.ceil(grow * (counts.max() + 1)))
         return (cells_cap, cap)
 
-    def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]]):
+    def _choose_mg_tile_caps(self, grow: float = 1.0) -> Optional[Tuple[int, ...]]:
+        """Per-MG-level static tile capacities for assembled levels
+        (host-side probe mirroring grid.sparse.build_tile_grid's activation:
+        tiles touched by any clipped stencil corner)."""
+        cfg = self.cfg
+        sol = cfg.solver
+        if (sol.preconditioner != "multigrid" or not sol.multigrid.assembled
+                or cfg.grid_backend != "dense"):
+            return None
+        import numpy as np
+
+        dim = cfg.dim
+        x = np.asarray(self.state.x)
+        res = np.asarray(cfg.grid_res[:dim], np.int64)
+        dx = cfg.dx
+        tile = 4
+        caps = []
+        for _ in range(sol.multigrid.levels):
+            tile_res = -(-res // tile)
+            strides = np.concatenate(
+                [np.cumprod(tile_res[::-1])[::-1][1:], [1]]
+            )
+            base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
+            tids = []
+            for mask in range(2**dim):
+                sel = np.array([(mask >> a) & 1 for a in range(dim)])
+                corner = np.clip(base + 2 * sel[None, :], 0, res - 1)
+                tids.append(((corner // tile) * strides).sum(axis=1))
+            count = len(np.unique(np.concatenate(tids)))
+            caps.append(int(np.ceil(grow * (1.2 * count + 8))))
+            res = (res + 1) // 2
+            dx = dx * 2.0
+        return tuple(caps)
+
+    def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]],
+                      mg_tile_caps: Optional[Tuple[int, ...]] = None):
         self._bin_caps = bin_caps
+        self._mg_tile_caps = mg_tile_caps
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -485,6 +526,7 @@ class Simulation:
                 colliders=self.colliders,
                 plasticity=self.plasticity,
                 bin_caps=bin_caps,
+                mg_tile_caps=mg_tile_caps,
             )
         )
 
@@ -514,7 +556,8 @@ class Simulation:
                 # capacity policy (SURVEY.md §7 hard-part 2): static tables
                 # are sized tight; on overflow, regrow + recompile (amortized)
                 # and redo the step — the overflowed result dropped particles.
-                if self._bin_caps is None or regrows >= 8:
+                if (self._bin_caps is None and self._mg_tile_caps is None) \
+                        or regrows >= 8:
                     raise RuntimeError(
                         f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
                         f" of {self.cfg.tile_capacity} tiles); raise "
@@ -522,17 +565,35 @@ class Simulation:
                     )
                 regrows += 1
                 old = self._bin_caps
-                # recompute from the CURRENT particle layout, with headroom,
-                # and force strict growth so the retry cannot overflow again
-                fresh = self._choose_bin_caps(grow=1.3) or old
-                new_caps = (max(fresh[0], old[0] + 64), max(fresh[1], old[1] + 2))
-                self.metrics.log(event="bin_regrow", old=list(old), new=list(new_caps))
-                self._rebuild_step(new_caps)
+                new_caps = old
+                if old is not None:
+                    # recompute from the CURRENT particle layout, with
+                    # headroom, forcing strict growth so the retry cannot
+                    # overflow again
+                    fresh = self._choose_bin_caps(grow=1.3) or old
+                    new_caps = (max(fresh[0], old[0] + 64), max(fresh[1], old[1] + 2))
+                new_mg = self._mg_tile_caps
+                if new_mg is not None:
+                    fresh_mg = self._choose_mg_tile_caps(grow=1.3) or new_mg
+                    new_mg = tuple(
+                        max(f, o + 8) for f, o in zip(fresh_mg, new_mg)
+                    )
+                self.metrics.log(event="bin_regrow",
+                                 old=list(old or ()), new=list(new_caps or ()),
+                                 mg=list(new_mg or ()))
+                self._rebuild_step(new_caps, new_mg)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))
             )
             if finite and (bool(stats.converged) or attempt >= self.cfg.solver.dt_retries):
+                break
+            if attempt >= self.cfg.solver.dt_retries:
+                # retries exhausted on a still-non-finite state (e.g. a NaN
+                # injected into F — dt halving cannot fix it): give up and
+                # surface the event rather than spinning forever; the caller
+                # recovers via checkpoint-resume (SURVEY.md §5.3).
+                self.metrics.log(event="nonfinite_give_up", dt=dt)
                 break
             attempt += 1
             dt = dt * 0.5

@@ -47,6 +47,13 @@ class MGLevel(NamedTuple):
     res: Tuple[int, ...]
     bins: object                # CellBins for the binned transfer path
                                 # (None on sparse tile grids)
+    # assembled-operator extras (None unless mg_tile_caps requested them):
+    # per-level tile grid + symbolic BSR structure + neighbor-slot table,
+    # and the free mask in tile-row order (docs/KERNEL_PLAN.md supertile SpMV)
+    tgrid: object = None
+    mat_sym: object = None      # ops.bsr.BsrMatrix (tile-row order, zero vals)
+    nbr: object = None          # (T_cap, 3^dim) neighbor tile slots
+    free_rows: object = None    # (n_rows,) bool
 
     @property
     def scatter(self):
@@ -68,15 +75,22 @@ class MGStatic(NamedTuple):
     # embed_bins[l] = CellBins of level-l nodes in level-(l+1) cells (dense
     # path; None entries on sparse tile grids)
     embed_bins: Tuple[object, ...]
+    # OR of per-level tile-grid overflow flags (assembled mode; None else)
+    overflow: object = None
 
 
 class MGPrecond(NamedTuple):
     diag_inv: Tuple[jax.Array, ...]   # per level: (n_nodes_l, d, d) block inverses
+                                      # (tile-ROW order in assembled mode)
     lmax: Tuple[jax.Array, ...]       # per level: scalar spectral bound
     ctx: object                       # per-particle dPdF context (shared by levels)
     coarse_chol: object = None        # Cholesky factor of the projected
                                       # coarsest operator (coarse_solver =
                                       # "direct"; reference: Eigen LDLT, #11)
+    # assembled mode: per-level BSR matrices (M + dt^2 K), tile-row order,
+    # rebuilt once per Newton iteration and reused by every smoother /
+    # residual application in the V-cycle (None entries = matrix-free level)
+    mats: Tuple[object, ...] = ()
 
 
 def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
@@ -85,7 +99,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 
 def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
-    bin_caps=None,
+    bin_caps=None, mg_tile_caps=None,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -98,14 +112,24 @@ def build_static(
 
     tile_capacity > 0 builds every level on a block-sparse tile grid
     (same capacity per level) instead of dense logical grids.
+
+    mg_tile_caps: per-level static tile capacities for ASSEMBLED levels
+    (dense logical grids only): each level also gets a tile grid + symbolic
+    tile-row BSR structure so build_precond can assemble explicit operators
+    and the V-cycle can smooth via the supertile SpMV
+    (ops.bsr_tiled.spmv_tiled) instead of per-particle quadrature applies.
     """
     sparse_mode = tile_capacity > 0
-    if sparse_mode:
+    assembled = mg_tile_caps is not None and not sparse_mode
+    if sparse_mode or assembled:
         from hot_tpu.grid import sparse as sparse_mod
+    if assembled:
+        from hot_tpu.ops import bsr_tiled
 
     levels = []
     embeds = []
     embed_bins_list = []
+    overflow = jnp.zeros((), bool) if assembled else None
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained
@@ -130,9 +154,21 @@ def build_static(
             grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
         active = grid_m > 0
         free = jnp.logical_and(active, jnp.logical_not(cons))
+        tg_l = mat_l = nbr_l = free_rows_l = None
+        if assembled:
+            tg_l = sparse_mod.build_tile_grid(
+                x, cur_dx, cur_res, int(mg_tile_caps[l])
+            )
+            mat_l = bsr_tiled.structure_tiled(tg_l)
+            nbr_l = bsr_tiled.tile_neighbors(tg_l)
+            valid = mat_l.node_of < n_nodes
+            safe = jnp.minimum(mat_l.node_of, n_nodes - 1)
+            free_rows_l = jnp.logical_and(free[safe], valid)
+            overflow = jnp.logical_or(overflow, tg_l.overflow)
         levels.append(
             MGLevel(stencil=st, grid_m=grid_m, active=active, free=free,
-                    dx=cur_dx, res=cur_res, bins=bins_l)
+                    dx=cur_dx, res=cur_res, bins=bins_l, tgrid=tg_l,
+                    mat_sym=mat_l, nbr=nbr_l, free_rows=free_rows_l)
         )
         if l == n_levels - 1:
             break
@@ -172,7 +208,7 @@ def build_static(
         cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
         cur_res, cur_dx = nxt_res, nxt_dx
     return MGStatic(levels=tuple(levels), embeds=tuple(embeds),
-                    embed_bins=tuple(embed_bins_list))
+                    embed_bins=tuple(embed_bins_list), overflow=overflow)
 
 
 def level_multiply(level: MGLevel, F_n, ctx, V0, dt, w):
@@ -187,25 +223,101 @@ def level_project(level: MGLevel, r):
     return jnp.where(level.free[:, None], r, 0.0)
 
 
+def _mat_of(pre: "MGPrecond", l: int):
+    return pre.mats[l] if pre.mats else None
+
+
+def level_multiply_any(level: MGLevel, mat, F_n, ctx, V0, dt, w):
+    """A_l w on dense level vectors; assembled supertile SpMV when mat is
+    available (same operator: both integrate M + dt^2 K over the identical
+    particle quadrature — equality is tested), quadrature apply otherwise."""
+    if mat is None:
+        return level_multiply(level, F_n, ctx, V0, dt, w)
+    from hot_tpu.ops import bsr as bsr_mod
+    from hot_tpu.ops import bsr_tiled
+
+    y_rows = bsr_tiled.spmv_tiled(
+        mat, level.tgrid, level.nbr, bsr_mod.grid_vector_to_rows(mat, w)
+    )
+    y = bsr_mod.rows_to_grid_vector(mat, y_rows, level.grid_m.shape[0])
+    return jnp.where(level.active[:, None], y, w)
+
+
+def _level_ops_rows(level: MGLevel, mat):
+    """(mul, proj) on tile-ROW vectors for an assembled level."""
+    from hot_tpu.ops import bsr_tiled
+
+    def mul(w):
+        return bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w)
+
+    def proj(r):
+        return jnp.where(level.free_rows[:, None], r, 0.0)
+
+    return mul, proj
+
+
+def _level_ops_dense(level: MGLevel, F_n, ctx, V0, dt):
+    """(mul, proj) on dense level vectors for a matrix-free level."""
+
+    def mul(w):
+        return level_multiply(level, F_n, ctx, V0, dt, w)
+
+    def proj(r):
+        return level_project(level, r)
+
+    return mul, proj
+
+
 def build_precond(
     mg: MGStatic, F_n, ctx, V0, dt, cfg: MultigridConfig, dim: int
 ) -> MGPrecond:
-    """Per-Newton-iteration smoother data: block diagonals + lambda_max."""
+    """Per-Newton-iteration smoother data: block diagonals + lambda_max.
+
+    Assembled levels (built with mg_tile_caps) additionally assemble the
+    explicit tile-row BSR operator here — once per Newton iteration,
+    amortized over every smoother/residual application of every CG
+    iteration (reference: HOT's per-level explicit matrices, #35)."""
     diag_inv = []
     lmax = []
+    mats = []
+    any_assembled = any(lv.mat_sym is not None for lv in mg.levels)
     for l, level in enumerate(mg.levels):
-        D = obj_mod.elastic_block_diag(
-            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
-            scatter=level.scatter,
-        )
-        Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
+        if level.mat_sym is not None:
+            from hot_tpu.ops import bsr as bsr_mod
+
+            if level.bins is not None:
+                # scatter-free assembly (XLA:TPU serializes colliding
+                # scatter-adds: 4.2 s vs this path — docs/KERNEL_PLAN.md)
+                mat = bsr_mod.assemble_hessian_binned(
+                    level.mat_sym, level.bins, level.stencil, F_n, ctx, V0,
+                    dt, level.grid_m
+                )
+            else:
+                mat = bsr_mod.assemble_hessian(
+                    level.mat_sym, level.stencil, F_n, ctx, V0, dt, level.grid_m
+                )
+            mats.append(mat)
+            eye = jnp.eye(dim, dtype=mat.vals.dtype)
+            D = jnp.where(level.free_rows[:, None, None],
+                          bsr_mod.block_diag(mat), eye[None])
+            Dinv = jnp.linalg.inv(D)
+            mul, proj = _level_ops_rows(level, mat)
+            v0 = level.free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
+        else:
+            mats.append(None)
+            D = obj_mod.elastic_block_diag(
+                level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
+                scatter=level.scatter,
+            )
+            Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
+            mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
+            v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
         diag_inv.append(Dinv)
         need_lmax = cfg.smoother == "chebyshev" and (
             l < len(mg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
         if need_lmax:
-            lam = _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv,
-                                        cfg.power_iters)
+            lam = _power_iteration_lmax(mul, proj, Dinv, v0, cfg.power_iters)
         else:
             lam = jnp.ones((), F_n.dtype)
         lmax.append(lam)
@@ -213,7 +325,8 @@ def build_precond(
     if cfg.coarse_solver == "direct":
         chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim)
     return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
-                     coarse_chol=chol)
+                     coarse_chol=chol,
+                     mats=tuple(mats) if any_assembled else ())
 
 
 def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int):
@@ -234,17 +347,26 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int):
     )
     free_rows = level.free[jnp.minimum(mat.node_of, n_nodes - 1)]
     free_rows = jnp.logical_and(free_rows, mat.node_of < n_nodes)
-    # dense (rows, cols, d, d) from the geometric-offset blocks
+    # dense matrix built COMPONENT-WISE: every intermediate keeps two large
+    # trailing dims. (A (rows*cols, d, d) intermediate gets TPU tile padding
+    # on the tiny (d, d) minor dims — measured 57x inflation, 34 GB at a
+    # 4096-row coarsest level.)
     cols = jnp.maximum(mat.col_row, 0)
     ok = (mat.col_row >= 0) & free_rows[:, None] & free_rows[cols]
     vals = jnp.where(ok[:, :, None, None], mat.vals, 0.0)
     n_rows = mat.n_rows
-    flat = (jnp.arange(n_rows, dtype=jnp.int32)[:, None] * n_rows + cols)
-    flat = jnp.where(ok, flat, n_rows * n_rows)
-    A = jnp.zeros((n_rows * n_rows + 1, dim, dim), vals.dtype)
-    A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dim, dim))[:-1]
-    A = A.reshape(n_rows, n_rows, dim, dim).transpose(0, 2, 1, 3)
-    A = A.reshape(n_rows * dim, n_rows * dim)
+    K = mat.K
+    r_idx = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    # invalid entries scatter into per-offset dump columns -> all (row, col)
+    # pairs are unique and XLA parallelizes the scatter
+    c_idx = jnp.where(ok, cols, n_rows + jnp.arange(K, dtype=jnp.int32)[None, :])
+    A = jnp.zeros((n_rows * dim, n_rows * dim), vals.dtype)
+    for a in range(dim):
+        for b in range(dim):
+            comp = jnp.zeros((n_rows, n_rows + K), vals.dtype)
+            comp = comp.at[r_idx, c_idx].add(vals[:, :, a, b],
+                                             unique_indices=True)
+            A = A.at[a::dim, b::dim].set(comp[:, :n_rows])
     # identity on non-free DoFs keeps the factorization well posed
     diag_fix = jnp.repeat(~free_rows, dim).astype(A.dtype)
     A = A + jnp.diag(diag_fix)
@@ -269,17 +391,15 @@ def _bapply(B, v):
     return jnp.einsum("nij,nj->ni", B, v)
 
 
-def _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv, iters: int):
+def _power_iteration_lmax(mul, proj, Dinv, v, iters: int):
     """lambda_max(D^-1 A) on the free subspace via power iteration
-    (reference: estimateEigenvalues, component #36)."""
+    (reference: estimateEigenvalues, component #36). mul/proj act on
+    whatever vector layout the level smooths in; v is the start vector."""
 
     def dinva(v):
-        v = level_project(level, v)
-        Av = level_multiply(level, F_n, ctx, V0, dt, v)
-        return level_project(level, _bapply(Dinv, Av))
+        v = proj(v)
+        return proj(_bapply(Dinv, mul(v)))
 
-    d = F_n.shape[-1]
-    v = level.free[:, None].astype(F_n.dtype) * jnp.ones((1, d), F_n.dtype)
     v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
 
     def body(_, carry):
@@ -289,25 +409,24 @@ def _power_iteration_lmax(level, F_n, ctx, V0, dt, Dinv, iters: int):
         v = Av / jnp.maximum(jnp.sqrt(jnp.sum(Av * Av)), 1e-30)
         return (v, lam)
 
-    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), F_n.dtype)))
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), v.dtype)))
     return jnp.maximum(lam, 1e-12)
 
 
 # ---------------------------------------------------------------------------
-# smoothers
+# smoothers (layout-agnostic: mul/proj close over the level's operator)
 # ---------------------------------------------------------------------------
 
 
-def jacobi_smooth(level, F_n, ctx, V0, dt, Dinv, b, x, iters: int, omega: float):
+def jacobi_smooth(mul, proj, Dinv, b, x, iters: int, omega: float):
     def body(_, x):
-        r = b - level_multiply(level, F_n, ctx, V0, dt, x)
-        r = level_project(level, r)
+        r = proj(b - mul(x))
         return x + omega * _bapply(Dinv, r)
 
     return jax.lax.fori_loop(0, iters, body, x)
 
 
-def chebyshev_smooth(level, F_n, ctx, V0, dt, Dinv, lmax, b, x, order: int,
+def chebyshev_smooth(mul, proj, Dinv, lmax, b, x, order: int,
                      lo: float, hi: float):
     """Chebyshev polynomial smoother on D^-1 A over [lo*lmax, hi*lmax]
     (reference: chebyshevSmooth, component #36 — HOT's recommended smoother)."""
@@ -318,17 +437,17 @@ def chebyshev_smooth(level, F_n, ctx, V0, dt, Dinv, lmax, b, x, order: int,
     sigma1 = theta / delta
 
     def resid(x):
-        return level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
+        return proj(b - mul(x))
 
     r = resid(x)
-    d = level_project(level, _bapply(Dinv, r)) / theta
+    d = proj(_bapply(Dinv, r)) / theta
     x = x + d
     rho_prev = 1.0 / sigma1
 
     def body(_, carry):
         x, d, rho_prev = carry
         r = resid(x)
-        z = level_project(level, _bapply(Dinv, r))
+        z = proj(_bapply(Dinv, r))
         rho = 1.0 / (2.0 * sigma1 - rho_prev)
         d = rho * rho_prev * d + (2.0 * rho / delta) * z
         return (x + d, d, rho)
@@ -337,15 +456,33 @@ def chebyshev_smooth(level, F_n, ctx, V0, dt, Dinv, lmax, b, x, order: int,
     return x
 
 
-def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfig,
-            b, x, iters: int):
+def _smooth_ops(mul, proj, pre: MGPrecond, l: int, cfg: MultigridConfig,
+                b, x, iters: int):
     if cfg.smoother == "chebyshev":
         return chebyshev_smooth(
-            level, F_n, ctx, V0, dt, pre.diag_inv[l], pre.lmax[l], b, x,
+            mul, proj, pre.diag_inv[l], pre.lmax[l], b, x,
             max(iters * cfg.chebyshev_order, 1), cfg.chebyshev_lo, cfg.chebyshev_hi,
         )
-    omega = cfg.jacobi_omega
-    return jacobi_smooth(level, F_n, ctx, V0, dt, pre.diag_inv[l], b, x, iters, omega)
+    return jacobi_smooth(mul, proj, pre.diag_inv[l], b, x, iters,
+                         cfg.jacobi_omega)
+
+
+def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfig,
+            b, x, iters: int):
+    """Smooth on DENSE level vectors. Assembled levels convert to tile-row
+    layout ONCE per smooth call, run the whole polynomial in rows against
+    the supertile SpMV, and convert back."""
+    mat = _mat_of(pre, l)
+    if mat is None:
+        mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
+        return _smooth_ops(mul, proj, pre, l, cfg, b, x, iters)
+    from hot_tpu.ops import bsr as bsr_mod
+
+    mul, proj = _level_ops_rows(level, mat)
+    b_r = bsr_mod.grid_vector_to_rows(mat, b)
+    x_r = bsr_mod.grid_vector_to_rows(mat, x)
+    x_r = _smooth_ops(mul, proj, pre, l, cfg, b_r, x_r, iters)
+    return bsr_mod.rows_to_grid_vector(mat, x_r, level.grid_m.shape[0])
 
 
 # ---------------------------------------------------------------------------
@@ -385,20 +522,37 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
             from hot_tpu.solver.cg import cg_solve
 
             Dinv = pre.diag_inv[l]
+            cmat = _mat_of(pre, l)
+            if cmat is None:
+                res = cg_solve(
+                    lambda w: level_project(
+                        level, level_multiply(level, F_n, ctx, V0, dt, w)
+                    ),
+                    b,
+                    precondition=lambda r: _bapply(Dinv, r),
+                    project=lambda r: level_project(level, r),
+                    tol=1e-2,
+                    max_iters=cfg.coarse_iters,
+                )
+                return res.x
+            from hot_tpu.ops import bsr as bsr_mod
+
+            mul, proj = _level_ops_rows(level, cmat)
             res = cg_solve(
-                lambda w: level_project(
-                    level, level_multiply(level, F_n, ctx, V0, dt, w)
-                ),
-                b,
+                lambda w: proj(mul(w)),
+                bsr_mod.grid_vector_to_rows(cmat, b),
                 precondition=lambda r: _bapply(Dinv, r),
-                project=lambda r: level_project(level, r),
+                project=proj,
                 tol=1e-2,
                 max_iters=cfg.coarse_iters,
             )
-            return res.x
+            return bsr_mod.rows_to_grid_vector(cmat, res.x,
+                                               level.grid_m.shape[0])
         return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
-    r = level_project(level, b - level_multiply(level, F_n, ctx, V0, dt, x))
+    r = level_project(
+        level, b - level_multiply_any(level, _mat_of(pre, l), F_n, ctx, V0, dt, x)
+    )
     n_coarse = mg.levels[l + 1].grid_m.shape[0]
     r_c = restrict(mg.embeds[l], r, n_coarse, bins=mg.embed_bins[l],
                    res_coarse=mg.levels[l + 1].res)
@@ -417,6 +571,7 @@ def mg_precondition(mg: MGStatic, pre: MGPrecond, F_n, V0, dt,
     ctx = pre.ctx
     z = v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, r)
     for _ in range(cfg.cycles - 1):
-        res = r - level_multiply(mg.levels[0], F_n, ctx, V0, dt, z)
+        res = r - level_multiply_any(mg.levels[0], _mat_of(pre, 0), F_n, ctx,
+                                     V0, dt, z)
         z = z + v_cycle(mg, pre, F_n, ctx, V0, dt, cfg, level_project(mg.levels[0], res))
     return z

@@ -39,6 +39,11 @@ class MultigridConfig:
     chebyshev_lo: float = 0.1
     chebyshev_hi: float = 1.05
     power_iters: int = 8            # power-iteration steps for lambda_max
+    # Assemble every level's explicit BSR operator once per Newton iteration
+    # and smooth via the supertile SpMV (ops.bsr_tiled) instead of
+    # per-particle quadrature applies — HOT's explicit per-level matrices
+    # (#35) in the TPU-shaped tile-row layout. Dense grid backend only.
+    assembled: bool = False
 
 
 @dataclass(frozen=True)

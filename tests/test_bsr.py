@@ -231,3 +231,44 @@ def test_spmv_transposed_pallas_matches(rng):
             np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-9,
             err_msg=scene_name,
         )
+
+
+def test_assemble_hessian_binned_matches(rng):
+    """Scatter-free binned assembly == per-particle scatter assembly
+    (same quadrature; the binned path exists because XLA:TPU serializes
+    colliding scatter-adds — docs/KERNEL_PLAN.md)."""
+    import jax.numpy as jnp
+
+    from hot_tpu.grid import sparse as sparse_mod
+    from hot_tpu.ops import bsr as bsr_mod
+    from hot_tpu.ops import bsr_tiled, transfer
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import objective as obj_mod
+
+    scene = build_scene("twisting_bar_3d", res=16, ppc=4, dtype=jnp.float64)
+    cfg, state, model = scene["cfg"], scene["state"], scene["model"]
+    res = cfg.grid_res[:3]
+    n_nodes = transfer.n_nodes_of(res)
+    dt = jnp.asarray(2e-3, state.x.dtype)
+    st = transfer.particle_stencil(state.x, cfg.dx, res)
+    gm, _ = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+    obj = obj_mod.make_objective(
+        model, st, state.F, state.V0, state.mu, state.lam, gm,
+        jnp.zeros((n_nodes, 3), state.x.dtype),
+        jnp.broadcast_to(jnp.eye(3, dtype=state.x.dtype), (n_nodes, 3, 3)),
+        dt, cfg.dx,
+    )
+    hess = obj_mod.build_hessian(model, obj, jnp.zeros((n_nodes, 3), state.x.dtype))
+    tg = sparse_mod.build_tile_grid(state.x, cfg.dx, res, capacity=128)
+    mat0 = bsr_tiled.structure_tiled(tg)
+    m_ref = bsr_mod.assemble_hessian(mat0, st, state.F, hess.ctx, state.V0, dt, gm)
+    bins = transfer.bin_particles(state.x, cfg.dx, res, 4096, 32)
+    assert not bool(bins.overflow)
+    m_bin = bsr_mod.assemble_hessian_binned(
+        mat0, bins, st, state.F, hess.ctx, state.V0, dt, gm
+    )
+    import numpy as np
+
+    scale = float(jnp.abs(m_ref.vals).max())
+    np.testing.assert_allclose(np.asarray(m_bin.vals), np.asarray(m_ref.vals),
+                               rtol=0, atol=1e-9 * scale)
