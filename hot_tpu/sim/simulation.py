@@ -115,8 +115,12 @@ def _advance_one_step_impl(
     use_binned = bin_caps is not None and cfg.grid_backend == "dense"
     # slot-major solve layout: only the matrix-free Newton path consumes it
     # (the explicit-BSR assembly and LBFGS baselines stay particle-ordered)
+    # slot-major is opt-in: measured 26% SLOWER end-to-end at 64^3 than the
+    # binned particle-order path (padding tax > gather savings; A/B
+    # 2026-08-19, 0.345 vs 0.433 steps/s at identical iteration counts)
     use_slots = (
-        use_binned and cfg.solver.matrix_free
+        cfg.solver.slot_major is True
+        and use_binned and cfg.solver.matrix_free
         and cfg.solver.integrator != "explicit"
         and cfg.solver.nonlinear == "newton"
     )

@@ -85,6 +85,13 @@ class SolverConfig:
     # quotients use the models' stable closed forms (bm_hat) — the earlier
     # regression was 0/0 noise at near-rest particles, not the kernel.
     pallas_linearize: Optional[bool] = None
+    # Slot-major solve layout (docs/KERNEL_PLAN.md): permute per-particle
+    # solve arrays to (cell, slot) order once per step so every solve
+    # transfer is one sorted-unique row op. OPT-IN (True): the padding tax
+    # (padded slots multiply per-row work of the fused kernels) measured
+    # 26% slower end-to-end at 64^3 than the binned particle-order path,
+    # at identical iteration counts (TPU A/B 2026-08-19).
+    slot_major: Optional[bool] = None
     # static row capacity for the explicit BSR matrix (matrix_free=False);
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0

@@ -150,12 +150,18 @@ def test_binned_slot_step_matches_scatter():
     sim_a = make_sim(scene_a)
 
     scene_b = small_drop()
-    cfg_b = dataclasses.replace(scene_b["cfg"], transfer_impl="binned")
+    # slot_major=True: explicitly exercise the slot-major layout (opt-in
+    # since the 2026-08-19 A/B showed the padding tax costs 26% end-to-end)
+    from hot_tpu.utils.config import config_from_overrides
+
+    cfg_b = config_from_overrides(scene_b["cfg"], {"solver.slot_major": True})
+    cfg_b = dataclasses.replace(cfg_b, transfer_impl="binned")
     sim_b = Simulation(
         cfg_b, scene_b["state"], scene_b["model"], scene_b["colliders"],
         plasticity=scene_b["plasticity"],
     )
     assert sim_b._choose_bin_caps() is not None
+    assert sim_b._bin_caps is not None
 
     for k in range(12):
         sa = sim_a.step(6e-3)
@@ -177,7 +183,8 @@ def test_binned_slot_step_multigrid_matches():
 
     def mg_sim(impl):
         scene = small_drop()
-        sol = dataclasses.replace(scene["cfg"].solver, preconditioner="multigrid")
+        sol = dataclasses.replace(scene["cfg"].solver, preconditioner="multigrid",
+                                  slot_major=(impl == "binned"))
         cfg = dataclasses.replace(scene["cfg"], solver=sol, transfer_impl=impl)
         return Simulation(
             cfg, scene["state"], scene["model"], scene["colliders"],
