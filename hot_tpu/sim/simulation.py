@@ -234,9 +234,16 @@ def _advance_one_step_impl(
             hess = obj_mod.build_hessian(
                 model, objective, v, project_spd=sol.project_hessian
             )
-            mat = bsr_mod.assemble_hessian(
-                mat0, st, state.F, hess.ctx, state.V0, dt, grid_m
-            )
+            if bins is not None:
+                # scatter-free assembly (XLA:TPU serializes the colliding
+                # per-particle block scatter — docs/KERNEL_PLAN.md)
+                mat = bsr_mod.assemble_hessian_binned(
+                    mat0, bins, st, state.F, hess.ctx, state.V0, dt, grid_m
+                )
+            else:
+                mat = bsr_mod.assemble_hessian(
+                    mat0, st, state.F, hess.ctx, state.V0, dt, grid_m
+                )
             return (hess, mat)
 
         def multiply(hp, w):

@@ -272,3 +272,34 @@ def test_assemble_hessian_binned_matches(rng):
     scale = float(jnp.abs(m_ref.vals).max())
     np.testing.assert_allclose(np.asarray(m_bin.vals), np.asarray(m_ref.vals),
                                rtol=0, atol=1e-9 * scale)
+
+
+def test_explicit_bsr_step_matches_matrix_free():
+    """matrix_free=False end-to-end (HOT's --matfree off): the explicit-BSR
+    step takes the matrix-free step's trajectory through impact, with both
+    the scatter and the binned (scatter-free) assembly paths."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import Simulation
+
+    def run(matrix_free, impl):
+        scene = build_scene("block_drop_2d", res=32, E=1e6, dtype=jnp.float64)
+        sol = dataclasses.replace(scene["cfg"].solver, matrix_free=matrix_free)
+        cfg = dataclasses.replace(scene["cfg"], solver=sol, transfer_impl=impl)
+        sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+        counts = []
+        for _ in range(40):
+            s = sim.step(6e-3)
+            counts.append((int(s.newton_iters), int(s.cg_iters)))
+        return np.asarray(sim.state.x), counts
+
+    x_mf, c_mf = run(True, "scatter")
+    for impl in ("scatter", "binned"):
+        x_b, c_b = run(False, impl)
+        n_b = sum(n for n, _ in c_b)
+        n_mf = sum(n for n, _ in c_mf)
+        assert abs(n_b - n_mf) <= max(1, 0.2 * n_mf), (impl, c_b, c_mf)
+        np.testing.assert_allclose(x_b, x_mf, rtol=0, atol=0.5 / 32, err_msg=impl)
