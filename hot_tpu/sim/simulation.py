@@ -59,6 +59,7 @@ def advance_one_step(
     plasticity: Optional[str] = None,
     bin_caps: Optional[Tuple[int, int]] = None,  # (cells_capacity, per-cell cap)
     mg_tile_caps: Optional[Tuple[int, ...]] = None,  # per-MG-level tile caps
+    bsr_tile_cap: Optional[int] = None,  # tile cap for the explicit outer BSR
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -73,6 +74,7 @@ def advance_one_step(
         return _advance_one_step_impl(
             state, dt, t, cfg=cfg, model=model, colliders=colliders,
             plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
+            bsr_tile_cap=bsr_tile_cap,
         )
 
 
@@ -87,6 +89,7 @@ def _advance_one_step_impl(
     plasticity: Optional[str] = None,
     bin_caps: Optional[Tuple[int, int]] = None,
     mg_tile_caps: Optional[Tuple[int, ...]] = None,
+    bsr_tile_cap: Optional[int] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -227,8 +230,21 @@ def _advance_one_step_impl(
             raise NotImplementedError(
                 "explicit BSR currently requires the dense grid backend"
             )
-        capacity = sol.bsr_capacity or n_nodes
-        mat0 = bsr_mod.structure(active, res, capacity)
+        use_tiled_bsr = bsr_tile_cap is not None and bsr_tile_cap > 0
+        if use_tiled_bsr:
+            # tile-row layout + supertile-window SpMV (ops.bsr_tiled): the
+            # latency-free formulation — measured 7.5x over the
+            # compressed-row gather spmv at 64^3 (docs/KERNEL_PLAN.md)
+            from hot_tpu.grid import sparse as sparse_mod
+            from hot_tpu.ops import bsr_tiled
+
+            btg = sparse_mod.build_tile_grid(state.x, dx, res, bsr_tile_cap)
+            mat0 = bsr_tiled.structure_tiled(btg)
+            bnbr = bsr_tiled.tile_neighbors(btg)
+            grid_overflow = jnp.logical_or(grid_overflow, btg.overflow)
+        else:
+            capacity = sol.bsr_capacity or n_nodes
+            mat0 = bsr_mod.structure(active, res, capacity)
 
         def build_hess(v):
             hess = obj_mod.build_hessian(
@@ -248,7 +264,11 @@ def _advance_one_step_impl(
 
         def multiply(hp, w):
             _, mat = hp
-            y_rows = bsr_mod.spmv(mat, bsr_mod.grid_vector_to_rows(mat, w))
+            rows = bsr_mod.grid_vector_to_rows(mat, w)
+            if use_tiled_bsr:
+                y_rows = bsr_tiled.spmv_tiled(mat, btg, bnbr, rows)
+            else:
+                y_rows = bsr_mod.spmv(mat, rows)
             y = bsr_mod.rows_to_grid_vector(mat, y_rows, n_nodes)
             return jnp.where(active[:, None], y, w)
 
@@ -461,7 +481,8 @@ class Simulation:
         self.t = 0.0
         self.step_count = 0
         self.retry_count = 0
-        self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps())
+        self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps(),
+                           self._choose_bsr_tile_cap())
 
     def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
         """Pick static bin capacities from the current state (host-side).
@@ -491,10 +512,25 @@ class Simulation:
         cap = cfg.bin_cap or int(np.ceil(grow * (counts.max() + 1)))
         return (cells_cap, cap)
 
+    @staticmethod
+    def _tile_count(x, res, dx, dim: int, tile: int = 4) -> int:
+        """Active-tile count at one grid spacing (host-side probe mirroring
+        grid.sparse.build_tile_grid's activation: tiles touched by any
+        clipped stencil corner)."""
+        import numpy as np
+
+        tile_res = -(-res // tile)
+        strides = np.concatenate([np.cumprod(tile_res[::-1])[::-1][1:], [1]])
+        base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
+        tids = []
+        for mask in range(2**dim):
+            sel = np.array([(mask >> a) & 1 for a in range(dim)])
+            corner = np.clip(base + 2 * sel[None, :], 0, res - 1)
+            tids.append(((corner // tile) * strides).sum(axis=1))
+        return len(np.unique(np.concatenate(tids)))
+
     def _choose_mg_tile_caps(self, grow: float = 1.0) -> Optional[Tuple[int, ...]]:
-        """Per-MG-level static tile capacities for assembled levels
-        (host-side probe mirroring grid.sparse.build_tile_grid's activation:
-        tiles touched by any clipped stencil corner)."""
+        """Per-MG-level static tile capacities for assembled levels."""
         cfg = self.cfg
         sol = cfg.solver
         if (sol.preconditioner != "multigrid" or not sol.multigrid.assembled
@@ -506,29 +542,34 @@ class Simulation:
         x = np.asarray(self.state.x)
         res = np.asarray(cfg.grid_res[:dim], np.int64)
         dx = cfg.dx
-        tile = 4
         caps = []
         for _ in range(sol.multigrid.levels):
-            tile_res = -(-res // tile)
-            strides = np.concatenate(
-                [np.cumprod(tile_res[::-1])[::-1][1:], [1]]
-            )
-            base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
-            tids = []
-            for mask in range(2**dim):
-                sel = np.array([(mask >> a) & 1 for a in range(dim)])
-                corner = np.clip(base + 2 * sel[None, :], 0, res - 1)
-                tids.append(((corner // tile) * strides).sum(axis=1))
-            count = len(np.unique(np.concatenate(tids)))
+            count = self._tile_count(x, res, dx, dim)
             caps.append(int(np.ceil(grow * (1.2 * count + 8))))
             res = (res + 1) // 2
             dx = dx * 2.0
         return tuple(caps)
 
+    def _choose_bsr_tile_cap(self, grow: float = 1.0) -> Optional[int]:
+        """Static tile capacity for the explicit outer BSR operator
+        (matrix_free=False): tile-row layout + supertile SpMV."""
+        cfg = self.cfg
+        if cfg.solver.matrix_free or cfg.grid_backend != "dense":
+            return None
+        import numpy as np
+
+        dim = cfg.dim
+        x = np.asarray(self.state.x)
+        res = np.asarray(cfg.grid_res[:dim], np.int64)
+        count = self._tile_count(x, res, cfg.dx, dim)
+        return int(np.ceil(grow * (1.2 * count + 8)))
+
     def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]],
-                      mg_tile_caps: Optional[Tuple[int, ...]] = None):
+                      mg_tile_caps: Optional[Tuple[int, ...]] = None,
+                      bsr_tile_cap: Optional[int] = None):
         self._bin_caps = bin_caps
         self._mg_tile_caps = mg_tile_caps
+        self._bsr_tile_cap = bsr_tile_cap
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -538,6 +579,7 @@ class Simulation:
                 plasticity=self.plasticity,
                 bin_caps=bin_caps,
                 mg_tile_caps=mg_tile_caps,
+                bsr_tile_cap=bsr_tile_cap,
             )
         )
 
@@ -567,8 +609,8 @@ class Simulation:
                 # capacity policy (SURVEY.md §7 hard-part 2): static tables
                 # are sized tight; on overflow, regrow + recompile (amortized)
                 # and redo the step — the overflowed result dropped particles.
-                if (self._bin_caps is None and self._mg_tile_caps is None) \
-                        or regrows >= 8:
+                if (self._bin_caps is None and self._mg_tile_caps is None
+                        and self._bsr_tile_cap is None) or regrows >= 8:
                     raise RuntimeError(
                         f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
                         f" of {self.cfg.tile_capacity} tiles); raise "
@@ -589,10 +631,15 @@ class Simulation:
                     new_mg = tuple(
                         max(f, o + 8) for f, o in zip(fresh_mg, new_mg)
                     )
+                new_bsr = self._bsr_tile_cap
+                if new_bsr is not None:
+                    fresh_bsr = self._choose_bsr_tile_cap(grow=1.3) or new_bsr
+                    new_bsr = max(fresh_bsr, new_bsr + 8)
                 self.metrics.log(event="bin_regrow",
                                  old=list(old or ()), new=list(new_caps or ()),
-                                 mg=list(new_mg or ()))
-                self._rebuild_step(new_caps, new_mg)
+                                 mg=list(new_mg or ()),
+                                 bsr=new_bsr)
+                self._rebuild_step(new_caps, new_mg, new_bsr)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))

@@ -1,0 +1,132 @@
+"""TPU A/B: steps/s of the implicit twisting-bar step across preconditioners.
+
+Variants:
+  jacobi     — block-Jacobi PCG (the round-1 default)
+  mg         — matrix-free node-embedding MG-PCG (quadrature applies per level)
+  mg_asm     — assembled MG-PCG (per-level tile-row BSR built once per Newton
+               iteration; smoothers/residuals via ops.bsr_tiled.spmv_tiled)
+
+Each variant runs in its OWN subprocess (round-1 observed a reproducible
+device fault compiling the matrix-free MG step at 64^3 — isolate it).
+
+Usage:
+  python scripts/bench_mg_ab.py               # run all variants, summary table
+  python scripts/bench_mg_ab.py --one mg      # single variant, one JSON line
+  python scripts/bench_mg_ab.py --res 64 --steps 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp")
+
+
+def solver_for(variant: str, base):
+    from hot_tpu.utils.config import MultigridConfig
+
+    exp = variant.endswith("_exp")    # explicit outer BSR (supertile SpMV)
+    if variant.startswith("jacobi"):
+        return dataclasses.replace(base, preconditioner="block_jacobi",
+                                   matrix_free=not exp)
+    mg = MultigridConfig(
+        levels=3,
+        smoother="chebyshev",
+        coarse_solver="direct",
+        assembled=variant.startswith("mg_asm"),
+    )
+    return dataclasses.replace(base, preconditioner="multigrid", multigrid=mg,
+                               matrix_free=not exp)
+
+
+def run_one(variant: str, res: int, steps: int, dt: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim.simulation import Simulation
+    from hot_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    scene = build_scene("twisting_bar_3d", res=res, ppc=8)
+    cfg = scene["cfg"]
+    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver))
+    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+
+    t_compile0 = time.perf_counter()
+    stats = sim.step(dt)
+    compile_s = time.perf_counter() - t_compile0
+    # warm: let background re-opt settle (first loops run ~100x slow)
+    for _ in range(9):
+        stats = sim.step(dt)
+    newton = int(stats.newton_iters)
+    cg = int(stats.cg_iters)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            stats = sim.step(dt)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return dict(
+        variant=variant,
+        res=res,
+        steps_per_sec=round(1.0 / best, 4),
+        step_ms=round(best * 1e3, 2),
+        newton=newton,
+        cg=cg,
+        last_newton=int(stats.newton_iters),
+        last_cg=int(stats.cg_iters),
+        compile_s=round(compile_s, 1),
+        backend=jax.default_backend(),
+        n_particles=int(sim.state.n),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", choices=VARIANTS)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--dt", type=float, default=2e-3)
+    ap.add_argument("--timeout", type=float, default=1500.0)
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    args = ap.parse_args()
+
+    if args.one:
+        print(json.dumps(run_one(args.one, args.res, args.steps, args.dt)),
+              flush=True)
+        return
+
+    results = []
+    for v in args.variants.split(","):
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", v,
+               "--res", str(args.res), "--steps", str(args.steps),
+               "--dt", str(args.dt)]
+        print(f"[ab] running {v} ...", file=sys.stderr, flush=True)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=args.timeout, cwd=REPO, env=env)
+        except subprocess.TimeoutExpired:
+            results.append(dict(variant=v, error="timeout"))
+            continue
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not line:
+            results.append(dict(variant=v, error=f"rc={out.returncode}",
+                                tail=out.stderr.strip().splitlines()[-8:]))
+        else:
+            results.append(json.loads(line[-1]))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
