@@ -51,6 +51,14 @@ class SMGLevel(NamedTuple):
     plane_nodes: int        # nodes per plane (static)
     res: Tuple[int, ...]    # global level resolution (static)
     dx: float
+    # assembled-operator extras (None unless mg_tile_caps requested them):
+    # LOCAL tile grid + symbolic BSR over the EXTENDED slab (this device's
+    # partial operator A_d; A = sum_d A_d by quadrature additivity, so the
+    # distributed SpMV is exchange -> local supertile SpMV -> fold)
+    tgrid: object = None
+    mat_sym: object = None
+    nbr: object = None
+    bins: object = None     # CellBins of local particles in the ext slab
 
 
 class SMGStatic(NamedTuple):
@@ -64,6 +72,9 @@ class SMGPrecond(NamedTuple):
     lmax: Tuple[jax.Array, ...]
     ctx: object
     coarse_chol: object = None
+    # assembled mode: per-level LOCAL BSR partial operators (tile-row order
+    # over the extended slab), rebuilt once per Newton iteration
+    mats: Tuple[object, ...] = ()
 
 
 def _rest_strides(res):
@@ -122,12 +133,26 @@ def make_level_ops(level: SMGLevel, axis: str, D: int):
 
 
 def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
-                 axis: str, D: int, dtype) -> SMGStatic:
+                 axis: str, D: int, dtype, mg_tile_caps=None,
+                 mg_bin_caps=None) -> SMGStatic:
     """Per-step hierarchy from this device's (padded) local particles.
 
     constrained0: (local_nodes_0,) bool — finest-level Dirichlet mask.
     Padding particles carry m == 0 so they never activate nodes.
+
+    mg_tile_caps: per-level static tile capacities — requests ASSEMBLED
+    levels: each level gets a LOCAL tile grid + symbolic tile-row BSR over
+    its EXTENDED slab, so build_precond can assemble this device's partial
+    operator A_d once per Newton iteration and smoothers run on the
+    supertile SpMV (exchange -> local SpMV -> fold; A = sum_d A_d).
+    mg_bin_caps: per-level (cells_cap, cap) CellBins capacities for the
+    scatter-free binned assembly (None entries fall back to the colliding-
+    scatter assembly — fine on CPU meshes, slow on TPU).
     """
+    if mg_tile_caps is not None:
+        from hot_tpu.grid import sparse as sparse_mod
+        from hot_tpu.ops import bsr_tiled
+
     levels = []
     embeds = []
     cur_res = tuple(res)
@@ -142,9 +167,30 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
         st, gids, plane_nodes = _local_stencil(
             ps_x, dev, cur_dx, cur_res, planes_l, dtype
         )
+        tg_l = mat_l = nbr_l = bins_l = None
+        if mg_tile_caps is not None:
+            # local frame: shift x so the extended slab starts at plane 0
+            # (an integer-cell shift — B-spline weights are unchanged, and
+            # the shifted base coords match st's extended-slab ids)
+            shift = jnp.zeros((len(cur_res),), dtype).at[0].set(
+                (dev * planes_l - HALO) * cur_dx
+            )
+            x_local = ps_x - shift[None, :]
+            res_ext = (planes_l + 2 * HALO,) + tuple(cur_res[1:])
+            tg_l = sparse_mod.build_tile_grid(
+                x_local, cur_dx, res_ext, int(mg_tile_caps[l])
+            )
+            mat_l = bsr_tiled.structure_tiled(tg_l)
+            nbr_l = bsr_tiled.tile_neighbors(tg_l)
+            if mg_bin_caps is not None and mg_bin_caps[l] is not None:
+                cells_cap, cap = mg_bin_caps[l]
+                bins_l = transfer.bin_particles(
+                    x_local, cur_dx, res_ext, int(cells_cap), int(cap)
+                )
         lvl = SMGLevel(st=st, gids=gids, grid_m=None, active=None, free=None,
                        planes=planes_l, plane_nodes=plane_nodes,
-                       res=cur_res, dx=cur_dx)
+                       res=cur_res, dx=cur_dx, tgrid=tg_l, mat_sym=mat_l,
+                       nbr=nbr_l, bins=bins_l)
         scatter, _ = make_level_ops(lvl, axis, D)
         grid_m = scatter(st, st.wn * ps_m[:, None], 0)
         active = grid_m > 0
@@ -211,26 +257,112 @@ def _bapply(B, v):
     return jnp.einsum("nij,nj->ni", B, v)
 
 
+def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int):
+    """A w on OWNED dense level vectors. Assembled levels (mat != None) run
+    exchange -> local supertile SpMV on the extended slab -> fold; the local
+    matrix is this device's PARTIAL ELASTIC operator K_d (halo rows hold
+    partial sums that fold ships to their owners — the same adjoint pair the
+    matrix-free scatter/gather uses, so the distributed operator is
+    identical; equality is tested). The inertia diagonal M is applied
+    OUTSIDE the matrices, from the (already halo-folded, complete) owned
+    grid masses: a node supported only by the NEIGHBOR device's particles
+    has no tile in this device's local grid, so putting mass inside A_d
+    would silently drop it."""
+    if mat is None:
+        def mul(w):
+            return level_multiply(level, F, ctx, V0, dt, w, axis, D)
+
+        return mul
+
+    from hot_tpu.ops import bsr as bsr_mod
+    from hot_tpu.ops import bsr_tiled
+
+    planes, plane_nodes = level.planes, level.plane_nodes
+    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    d = F.shape[-1]
+
+    def mul(w):
+        vp = w.reshape(planes, plane_nodes, d)
+        ext = exchange_halo(vp, axis, D, HALO).reshape(ext_nodes, d)
+        w_rows = bsr_mod.grid_vector_to_rows(mat, ext)
+        y_rows = bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w_rows)
+        y_ext = bsr_mod.rows_to_grid_vector(mat, y_rows, ext_nodes)
+        y = fold_halo(
+            y_ext.reshape(planes + 2 * HALO, plane_nodes, d), axis, D, HALO
+        ).reshape(planes * plane_nodes, d)
+        y = y + level.grid_m[:, None] * w
+        return jnp.where(level.active[:, None], y, w)
+
+    return mul
+
+
+def _assemble_level(level: SMGLevel, F, ctx, V0, dt):
+    """This device's partial ELASTIC BSR operator over the extended slab
+    (dt^2 K_d only; inertia is applied outside — see make_mul)."""
+    from hot_tpu.ops import bsr as bsr_mod
+
+    no_mass = jnp.zeros(
+        ((level.planes + 2 * HALO) * level.plane_nodes,), F.dtype
+    )
+    if level.bins is not None:
+        return bsr_mod.assemble_hessian_binned(
+            level.mat_sym, level.bins, level.st, F, ctx, V0, dt, no_mass
+        )
+    return bsr_mod.assemble_hessian(
+        level.mat_sym, level.st, F, ctx, V0, dt, no_mass
+    )
+
+
+def _diag_from_mat(level: SMGLevel, mat, dim: int, axis: str, D: int):
+    """Full (d, d) diagonal blocks on owned nodes: fold the partial elastic
+    center blocks of K_d (neighbors' halo partials add in) + inertia."""
+    from hot_tpu.ops import bsr as bsr_mod
+
+    planes, plane_nodes = level.planes, level.plane_nodes
+    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    center = (mat.K - 1) // 2
+    cb = mat.vals[:, center].reshape(mat.n_rows, dim * dim)
+    cb_ext = bsr_mod.rows_to_grid_vector(mat, cb, ext_nodes)
+    Dm = fold_halo(
+        cb_ext.reshape(planes + 2 * HALO, plane_nodes, dim * dim),
+        axis, D, HALO,
+    ).reshape(planes * plane_nodes, dim, dim)
+    eye = jnp.eye(dim, dtype=Dm.dtype)
+    Dm = Dm + level.grid_m[:, None, None] * eye[None]
+    return jnp.where(level.free[:, None, None], Dm, eye[None])
+
+
 def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
                   dim: int, axis: str, D: int) -> SMGPrecond:
     """Per-Newton smoother data; lambda_max power iterations psum across the
-    mesh so every device holds the identical bound."""
+    mesh so every device holds the identical bound. Assembled levels also
+    build this device's partial BSR here — once per Newton iteration,
+    amortized over every smoother/residual SpMV."""
     diag_inv = []
     lmax = []
+    mats = []
+    any_assembled = any(lv.mat_sym is not None for lv in smg.levels)
     for l, level in enumerate(smg.levels):
-        scatter, _ = make_level_ops(level, axis, D)
-        Db = obj_mod.elastic_block_diag(
-            level.st, F, ctx, V0, dt, level.grid_m, level.active, dim,
-            scatter=scatter,
-        )
+        if level.mat_sym is not None:
+            mat = _assemble_level(level, F, ctx, V0, dt)
+            mats.append(mat)
+            Db = _diag_from_mat(level, mat, dim, axis, D)
+        else:
+            mat = None
+            mats.append(None)
+            scatter, _ = make_level_ops(level, axis, D)
+            Db = obj_mod.elastic_block_diag(
+                level.st, F, ctx, V0, dt, level.grid_m, level.active, dim,
+                scatter=scatter,
+            )
         Dinv = jnp.linalg.inv(Db)
         diag_inv.append(Dinv)
         need = cfg.smoother == "chebyshev" and (
             l < len(smg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
         if need:
-            lam = _power_lmax(level, F, ctx, V0, dt, Dinv, cfg.power_iters,
-                              axis, D)
+            mul = make_mul(level, mat, F, ctx, V0, dt, axis, D)
+            lam = _power_lmax(level, mul, Dinv, cfg.power_iters, axis)
         else:
             lam = jnp.ones((), F.dtype)
         lmax.append(lam)
@@ -239,20 +371,21 @@ def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
         chol = _coarse_dense_factor(smg.levels[-1], F, ctx, V0, dt, dim,
                                     axis, D)
     return SMGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
-                      coarse_chol=chol)
+                      coarse_chol=chol,
+                      mats=tuple(mats) if any_assembled else ())
 
 
-def _power_lmax(level, F, ctx, V0, dt, Dinv, iters, axis, D):
+def _power_lmax(level, mul, Dinv, iters, axis):
     def dinva(v):
         v = level_project(level, v)
-        Av = level_multiply(level, F, ctx, V0, dt, v, axis, D)
-        return level_project(level, _bapply(Dinv, Av))
+        return level_project(level, _bapply(Dinv, mul(v)))
 
     def gnorm(v):
         return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
 
-    d = F.shape[-1]
-    v = level.free[:, None].astype(F.dtype) * jnp.ones((1, d), F.dtype)
+    d = Dinv.shape[-1]
+    dtype = Dinv.dtype
+    v = level.free[:, None].astype(dtype) * jnp.ones((1, d), dtype)
     v = v / jnp.maximum(gnorm(v), 1e-30)
 
     def body(_, carry):
@@ -262,7 +395,7 @@ def _power_lmax(level, F, ctx, V0, dt, Dinv, iters, axis, D):
         lam = na / jnp.maximum(nv, 1e-30)
         return (Av / jnp.maximum(na, 1e-30), lam)
 
-    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), F.dtype)))
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
     return jnp.maximum(lam, 1e-12)
 
 
@@ -342,51 +475,23 @@ def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
 # ---------------------------------------------------------------------------
 
 
-def _smooth(level, F, ctx, V0, dt, pre: SMGPrecond, l: int,
-            cfg: MultigridConfig, b, x, iters: int, axis: str, D: int):
-    Dinv = pre.diag_inv[l]
+def _mat_of(pre: SMGPrecond, l: int):
+    return pre.mats[l] if pre.mats else None
+
+
+def _smooth(level, mul, pre: SMGPrecond, l: int,
+            cfg: MultigridConfig, b, x, iters: int):
+    def proj(r):
+        return level_project(level, r)
+
     if cfg.smoother == "chebyshev":
-        return _chebyshev(level, F, ctx, V0, dt, Dinv, pre.lmax[l], b, x,
-                          max(iters * cfg.chebyshev_order, 1),
-                          cfg.chebyshev_lo, cfg.chebyshev_hi, axis, D)
-    omega = cfg.jacobi_omega
-
-    def body(_, x):
-        r = b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
-        r = level_project(level, r)
-        return x + omega * _bapply(Dinv, r)
-
-    return jax.lax.fori_loop(0, iters, body, x)
-
-
-def _chebyshev(level, F, ctx, V0, dt, Dinv, lmax, b, x, order, lo, hi,
-               axis, D):
-    lmin = lo * lmax
-    lmx = hi * lmax
-    theta = 0.5 * (lmx + lmin)
-    delta = 0.5 * (lmx - lmin)
-    sigma1 = theta / delta
-
-    def resid(x):
-        return level_project(
-            level, b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
+        return mg_mod.chebyshev_smooth(
+            mul, proj, pre.diag_inv[l], pre.lmax[l], b, x,
+            max(iters * cfg.chebyshev_order, 1),
+            cfg.chebyshev_lo, cfg.chebyshev_hi,
         )
-
-    r = resid(x)
-    d = level_project(level, _bapply(Dinv, r)) / theta
-    x = x + d
-    rho_prev = 1.0 / sigma1
-
-    def body(_, carry):
-        x, d, rho_prev = carry
-        r = resid(x)
-        z = level_project(level, _bapply(Dinv, r))
-        rho = 1.0 / (2.0 * sigma1 - rho_prev)
-        d = rho * rho_prev * d + (2.0 * rho / delta) * z
-        return (x + d, d, rho)
-
-    x, _, _ = jax.lax.fori_loop(0, order - 1, body, (x, d, rho_prev))
-    return x
+    return mg_mod.jacobi_smooth(mul, proj, pre.diag_inv[l], b, x, iters,
+                                cfg.jacobi_omega)
 
 
 def restrict(smg: SMGStatic, l: int, r_fine, axis: str, D: int):
@@ -408,6 +513,7 @@ def prolong(smg: SMGStatic, l: int, e_coarse, axis: str, D: int):
 def v_cycle(smg: SMGStatic, pre: SMGPrecond, F, ctx, V0, dt,
             cfg: MultigridConfig, b, axis: str, D: int, l: int = 0):
     level = smg.levels[l]
+    mul = make_mul(level, _mat_of(pre, l), F, ctx, V0, dt, axis, D)
     x = jnp.zeros_like(b)
     if l == len(smg.levels) - 1:
         if cfg.coarse_solver == "direct":
@@ -418,9 +524,7 @@ def v_cycle(smg: SMGStatic, pre: SMGPrecond, F, ctx, V0, dt,
 
             Dinv = pre.diag_inv[l]
             res = cg_solve(
-                lambda w: level_project(
-                    level, level_multiply(level, F, ctx, V0, dt, w, axis, D)
-                ),
+                lambda w: level_project(level, mul(w)),
                 b,
                 precondition=lambda r: _bapply(Dinv, r),
                 project=lambda r: level_project(level, r),
@@ -429,18 +533,13 @@ def v_cycle(smg: SMGStatic, pre: SMGPrecond, F, ctx, V0, dt,
                 axis_name=axis,
             )
             return res.x
-        return _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x,
-                       cfg.coarse_iters, axis, D)
-    x = _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth,
-                axis, D)
-    r = level_project(
-        level, b - level_multiply(level, F, ctx, V0, dt, x, axis, D)
-    )
+        return _smooth(level, mul, pre, l, cfg, b, x, cfg.coarse_iters)
+    x = _smooth(level, mul, pre, l, cfg, b, x, cfg.pre_smooth)
+    r = level_project(level, b - mul(x))
     r_c = level_project(smg.levels[l + 1], restrict(smg, l, r, axis, D))
     e_c = v_cycle(smg, pre, F, ctx, V0, dt, cfg, r_c, axis, D, l + 1)
     x = x + level_project(level, prolong(smg, l, e_c, axis, D))
-    x = _smooth(level, F, ctx, V0, dt, pre, l, cfg, b, x, cfg.post_smooth,
-                axis, D)
+    x = _smooth(level, mul, pre, l, cfg, b, x, cfg.post_smooth)
     return x
 
 
@@ -449,7 +548,9 @@ def mg_precondition(smg: SMGStatic, pre: SMGPrecond, F, V0, dt,
     ctx = pre.ctx
     z = v_cycle(smg, pre, F, ctx, V0, dt, cfg, r, axis, D)
     for _ in range(cfg.cycles - 1):
-        res = r - level_multiply(smg.levels[0], F, ctx, V0, dt, z, axis, D)
+        mul0 = make_mul(smg.levels[0], _mat_of(pre, 0), F, ctx, V0, dt,
+                        axis, D)
+        res = r - mul0(z)
         z = z + v_cycle(smg, pre, F, ctx, V0, dt, cfg,
                         level_project(smg.levels[0], res), axis, D)
     return z

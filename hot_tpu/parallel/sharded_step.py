@@ -140,8 +140,13 @@ def _local_positions(dev, planes, res, dx, dtype):
 
 def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
                       colliders: Sequence[collision.Collider], n_max: int,
-                      plasticity=None, axis: str = "x"):
-    """Build the jitted fully-sharded step: (state, dt, t) -> (state, stats)."""
+                      plasticity=None, axis: str = "x", mg_bin_caps=None):
+    """Build the jitted fully-sharded step: (state, dt, t) -> (state, stats).
+
+    mg_bin_caps: per-MG-level (cells_cap, cap) for the scatter-free binned
+    assembly of assembled MG levels (cfg.solver.multigrid.assembled); None
+    uses the colliding-scatter assembly.
+    """
     D = mesh.shape[axis]
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -268,9 +273,25 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
                 node_pos, t, colliders, grid_v=v_star, boundary_margin=2,
                 res=res, dx=dx,
             )
+            mg_tile_caps = None
+            if sol.multigrid.assembled:
+                # dense tiling of each level's extended slab: exact
+                # capacity, no overflow path needed
+                caps = []
+                cur = tuple(res)
+                for _l in range(sol.multigrid.levels):
+                    planes_l = cur[0] // D
+                    ext = (planes_l + 2 * HALO,) + cur[1:]
+                    cap = 1
+                    for e in ext:
+                        cap *= -(-int(e) // 4)
+                    caps.append(cap)
+                    cur = tuple((r + 1) // 2 for r in cur)
+                mg_tile_caps = tuple(caps)
             smg = smg_mod.build_static(
                 ps.x, ps.m, dev, res, dx, sol.multigrid.levels, constrained,
-                axis, D, dtype,
+                axis, D, dtype, mg_tile_caps=mg_tile_caps,
+                mg_bin_caps=mg_bin_caps,
             )
 
             def build_preconditioner(ctx):

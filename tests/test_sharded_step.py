@@ -79,23 +79,38 @@ def test_sharded_step_matches_single_device(n_devices):
     np.testing.assert_allclose(np.asarray(state.F), ref.F, atol=1e-8)
 
 
-@pytest.mark.parametrize("coarse_solver", ["direct", "smoother"])
-def test_sharded_step_multigrid_matches(coarse_solver):
+@pytest.mark.parametrize("coarse_solver,assembled", [
+    ("direct", False), ("smoother", False), ("direct", True),
+])
+def test_sharded_step_multigrid_matches(coarse_solver, assembled):
     """Sharded MG preconditioner (slab levels + halo collectives +
     agglomerated coarsest solve, parallel/sharded_mg) == single-device MG:
-    identical Newton/CG counts and trajectories through impact."""
+    identical Newton/CG counts and trajectories through impact.
+
+    assembled=True additionally exercises the distributed explicit-BSR
+    levels (per-device partial operators over extended slabs, supertile
+    SpMV smoothing) — the operator must be identical to the matrix-free
+    quadrature path, so iteration counts still match the single-device
+    MATRIX-FREE reference in f64."""
     import dataclasses
 
     scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
     mgc = dataclasses.replace(
-        scene["cfg"].solver.multigrid, levels=2, coarse_solver=coarse_solver
+        scene["cfg"].solver.multigrid, levels=2, coarse_solver=coarse_solver,
+        assembled=assembled,
     )
     sol = dataclasses.replace(
         scene["cfg"].solver, preconditioner="multigrid", multigrid=mgc
     )
     cfg = dataclasses.replace(scene["cfg"], solver=sol)
 
-    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    # single-device reference always runs MATRIX-FREE quadrature levels, so
+    # assembled=True proves cross-path operator equality end to end
+    mgc_ref = dataclasses.replace(mgc, assembled=False)
+    cfg_ref = dataclasses.replace(
+        cfg, solver=dataclasses.replace(sol, multigrid=mgc_ref)
+    )
+    sim = Simulation(cfg_ref, scene["state"], scene["model"], scene["colliders"])
     n_steps = 58
     for _ in range(n_steps):
         sim.step(5e-3)
