@@ -43,7 +43,7 @@ def save_frame(path: str, state: ParticleState, fmt: str = None):
 
     Format from the extension (or `fmt`): .bgeo (classic Houdini, what the
     reference's partio emits — native C++ writer), .ply (binary
-    little-endian), .npz (portable arrays).
+    little-endian), .vtk (legacy binary POLYDATA), .npz (portable arrays).
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
@@ -57,5 +57,9 @@ def save_frame(path: str, state: ParticleState, fmt: str = None):
         from hot_tpu import native
 
         native.write_ply(path, x, v)
+    elif ext == "vtk":
+        from hot_tpu import native
+
+        native.write_vtk(path, x, v)
     else:
         np.savez_compressed(path, x=x, v=v)

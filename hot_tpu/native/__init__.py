@@ -68,6 +68,8 @@ def _lib():
             lib.ht_write_bgeo.restype = ctypes.c_int
             lib.ht_write_ply.argtypes = [ctypes.c_char_p, c_i64, c_pf, c_pf]
             lib.ht_write_ply.restype = ctypes.c_int
+            lib.ht_write_vtk.argtypes = [ctypes.c_char_p, c_i64, c_pf, c_pf]
+            lib.ht_write_vtk.restype = ctypes.c_int
             lib.ht_inside_mesh.argtypes = [c_i64, c_pd, c_i64, c_pi64, c_i64,
                                            c_pd, c_pu8]
             lib.ht_inside_mesh.restype = ctypes.c_int
@@ -186,6 +188,40 @@ def write_ply(path: str, x, v=None):
         )
         data = x if v3 is None else np.concatenate([x, v3], axis=1)
         fh.write(np.ascontiguousarray(data, "<f4").tobytes())
+
+
+def write_vtk(path: str, x, v=None):
+    """Legacy VTK binary POLYDATA point cloud (reference VtkIO, #17):
+    POINTS + per-point VERTICES cells + optional velocity VECTORS.
+    Pure-Python fallback writes the identical bytes."""
+    x = _to3(np.asarray(x, np.float32))
+    v3 = None if v is None else _to3(np.asarray(v, np.float32))
+    lib = _lib()
+    if lib is not None:
+        rc = lib.ht_write_vtk(
+            path.encode(), x.shape[0], _fptr(np.ascontiguousarray(x)),
+            _fptr(np.ascontiguousarray(v3)) if v3 is not None else None,
+        )
+        if rc != 0:
+            raise IOError(f"vtk write failed ({rc}): {path}")
+        return
+    n = x.shape[0]
+    out = bytearray()
+    out += (b"# vtk DataFile Version 3.0\nhot_tpu particles\nBINARY\n"
+            b"DATASET POLYDATA\n")
+    out += f"POINTS {n} float\n".encode()
+    out += np.ascontiguousarray(x, ">f4").tobytes()
+    out += f"\nVERTICES {n} {2 * n}\n".encode()
+    cells = np.empty((n, 2), ">i4")
+    cells[:, 0] = 1
+    cells[:, 1] = np.arange(n)
+    out += cells.tobytes()
+    if v3 is not None:
+        out += f"\nPOINT_DATA {n}\nVECTORS v float\n".encode()
+        out += np.ascontiguousarray(v3, ">f4").tobytes()
+    out += b"\n"
+    with open(path, "wb") as fh:
+        fh.write(out)
 
 
 def _to3(a):

@@ -134,6 +134,50 @@ int ht_write_ply(const char* path, int64_t n, const float* xyz,
 }
 
 // ---------------------------------------------------------------------------
+// Legacy VTK binary POLYDATA point cloud (reference VtkIO #17): POINTS +
+// per-point VERTICES cells (so viewers render them) + optional velocity
+// VECTORS. Legacy binary VTK is big-endian.
+// ---------------------------------------------------------------------------
+
+int ht_write_vtk(const char* path, int64_t n, const float* xyz,
+                 const float* vel) {
+    std::vector<uint8_t> b;
+    b.reserve(size_t(n) * (vel ? 44 : 32) + 512);
+    auto put_text = [&](const char* s) {
+        while (*s) b.push_back(uint8_t(*s++));
+    };
+    char hdr[128];
+    put_text("# vtk DataFile Version 3.0\nhot_tpu particles\nBINARY\n"
+             "DATASET POLYDATA\n");
+    std::snprintf(hdr, sizeof hdr, "POINTS %lld float\n", (long long)n);
+    put_text(hdr);
+    for (int64_t i = 0; i < n; ++i) {
+        put_bef(b, xyz[3 * i + 0]);
+        put_bef(b, xyz[3 * i + 1]);
+        put_bef(b, xyz[3 * i + 2]);
+    }
+    std::snprintf(hdr, sizeof hdr, "\nVERTICES %lld %lld\n",
+                  (long long)n, (long long)(2 * n));
+    put_text(hdr);
+    for (int64_t i = 0; i < n; ++i) {
+        put_be32(b, 1);
+        put_be32(b, uint32_t(i));
+    }
+    if (vel) {
+        std::snprintf(hdr, sizeof hdr,
+                      "\nPOINT_DATA %lld\nVECTORS v float\n", (long long)n);
+        put_text(hdr);
+        for (int64_t i = 0; i < n; ++i) {
+            put_bef(b, vel[3 * i + 0]);
+            put_bef(b, vel[3 * i + 1]);
+            put_bef(b, vel[3 * i + 2]);
+        }
+    }
+    b.push_back('\n');
+    return write_all(path, b);
+}
+
+// ---------------------------------------------------------------------------
 // Watertight-mesh inside test by ray parity, OpenMP over samples.
 // Reference: VdbLevelSet::inside / sampling for the faceless scene (#17).
 // Identical rules to hot_tpu.io.mesh.points_inside_mesh (the tests assert

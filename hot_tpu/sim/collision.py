@@ -139,6 +139,64 @@ class AxisBox(Collider):
         return n
 
 
+@dataclasses.dataclass(frozen=True)
+class Cylinder(Collider):
+    """Finite capped cylinder (reference AnalyticLevelSet cylinders, #16):
+    axis through `center` along unit(`axis`), radius R, half-height h.
+    phi < 0 inside. Exact SDF outside; inside, distance to nearest face."""
+
+    center: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    axis: Tuple[float, ...] = (0.0, 1.0, 0.0)
+    radius: float = 1.0
+    half_height: float = 1.0
+
+    def _frame(self, x, t):
+        a = _unit(jnp.asarray(self.axis, x.dtype))
+        rel = x - jnp.asarray(self.center, x.dtype)[None, :]
+        y = rel @ a                                     # axial coordinate
+        rad_vec = rel - y[:, None] * a[None, :]
+        r = jnp.linalg.norm(rad_vec, axis=-1)
+        return a, y, rad_vec, r
+
+    def phi(self, x, t):
+        _, y, _, r = self._frame(x, t)
+        d_r = r - self.radius
+        d_y = jnp.abs(y) - self.half_height
+        outside = jnp.linalg.norm(
+            jnp.stack([jnp.maximum(d_r, 0.0), jnp.maximum(d_y, 0.0)], -1),
+            axis=-1,
+        )
+        inside = jnp.maximum(d_r, d_y)
+        return jnp.where(inside < 0, inside, outside)
+
+    def normal(self, x, t):
+        a, y, rad_vec, r = self._frame(x, t)
+        d_r = r - self.radius
+        d_y = jnp.abs(y) - self.half_height
+        # degenerate points (on the axis / mid-plane) get a well-defined
+        # fallback: any unit radial, and the +axis cap
+        perp = jnp.eye(len(self.axis), dtype=x.dtype)[
+            int(jnp.argmin(jnp.abs(jnp.asarray(self.axis))))
+        ]
+        perp = _unit(perp - jnp.dot(perp, a) * a)
+        rad_dir = jnp.where(
+            (r > 1e-12)[:, None],
+            rad_vec / jnp.maximum(r, 1e-12)[:, None],
+            perp[None, :],
+        )
+        cap_dir = jnp.where(y >= 0, 1.0, -1.0)[:, None] * a[None, :]
+        # outside: gradient of the 2D (d_r, d_y) distance; inside: face of
+        # least depth (max of the two negatives)
+        wr = jnp.maximum(d_r, 0.0)
+        wy = jnp.maximum(d_y, 0.0)
+        g_out = wr[:, None] * rad_dir + wy[:, None] * cap_dir
+        g_out = g_out / jnp.maximum(
+            jnp.linalg.norm(g_out, axis=-1, keepdims=True), 1e-12
+        )
+        g_in = jnp.where((d_r > d_y)[:, None], rad_dir, cap_dir)
+        return jnp.where((jnp.maximum(d_r, d_y) < 0)[:, None], g_in, g_out)
+
+
 def _unit(v):
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
 

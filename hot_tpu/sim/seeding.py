@@ -56,3 +56,18 @@ def sample_sphere(key, center, radius, dx, particles_per_cell: int, dtype=jnp.fl
     hi = center + radius
     phi = lambda x: jnp.linalg.norm(x - jnp.asarray(center, x.dtype)[None, :], axis=-1) - radius
     return sample_level_set(key, phi, lo, hi, dx, particles_per_cell, dtype)
+
+
+def sample_cylinder(key, center, axis, radius, half_height, dx,
+                    particles_per_cell: int, dtype=jnp.float32):
+    """Samples inside a finite capped cylinder (matches collision.Cylinder)."""
+    from hot_tpu.sim.collision import Cylinder
+
+    cyl = Cylinder(center=tuple(center), axis=tuple(axis), radius=radius,
+                   half_height=half_height)
+    center = np.asarray(center, np.float64)
+    reach = float(np.sqrt(radius**2 + half_height**2))
+    lo = center - reach
+    hi = center + reach
+    return sample_level_set(key, lambda x: cyl.phi(x, 0.0), lo, hi, dx,
+                            particles_per_cell, dtype)

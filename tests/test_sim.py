@@ -231,3 +231,70 @@ def test_bin_overflow_regrows_and_matches():
     np.testing.assert_allclose(
         np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
     )
+
+
+def test_cylinder_collider_sdf_and_sampling():
+    """Cylinder level set (SURVEY #16): sign classification, |normal| = 1,
+    normal == finite-difference gradient of phi, and seeding stays inside."""
+    import numpy as np
+    from hot_tpu.sim.collision import Cylinder
+    from hot_tpu.sim.seeding import sample_cylinder
+
+    cyl = Cylinder(center=(0.5, 0.5, 0.5), axis=(0.0, 0.0, 1.0),
+                   radius=0.2, half_height=0.1)
+    pts = jnp.asarray([
+        [0.5, 0.5, 0.5],     # center: inside
+        [0.75, 0.5, 0.5],    # radially outside
+        [0.5, 0.5, 0.7],     # above cap
+        [0.66, 0.5, 0.54],   # inside near wall
+        [0.8, 0.5, 0.8],     # outside corner
+    ])
+    phi = np.asarray(cyl.phi(pts, 0.0))
+    assert phi[0] < 0 and phi[3] < 0
+    assert phi[1] > 0 and phi[2] > 0 and phi[4] > 0
+    np.testing.assert_allclose(phi[1], 0.05, atol=1e-6)
+    np.testing.assert_allclose(phi[2], 0.1, atol=1e-6)
+    n = np.asarray(cyl.normal(pts, 0.0))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-6)
+    # FD gradient check away from the inside ridge
+    eps = 1e-4
+    for p in [pts[1], pts[2], pts[4], pts[3]]:
+        g = []
+        for a in range(3):
+            dp = jnp.zeros(3).at[a].set(eps)
+            g.append(float(cyl.phi((p + dp)[None], 0.0)[0]
+                           - cyl.phi((p - dp)[None], 0.0)[0]) / (2 * eps))
+        gn = np.asarray(g) / np.linalg.norm(g)
+        pn = np.asarray(cyl.normal(p[None], 0.0)[0])
+        np.testing.assert_allclose(pn, gn, atol=1e-3)
+
+    x, vol = sample_cylinder(jax.random.PRNGKey(0), (0.5, 0.5, 0.5),
+                             (0.0, 0.0, 1.0), 0.2, 0.1, 1.0 / 32, 8)
+    assert x.shape[0] > 100 and vol > 0
+    assert float(jnp.max(cyl.phi(x, 0.0))) < 0
+
+
+def test_vtk_writer_native_matches_python(tmp_path):
+    """VTK frame writer (SURVEY #17 VtkIO): native C++ and the Python
+    fallback must produce identical bytes; header must parse."""
+    import numpy as np
+    from hot_tpu import native
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((37, 3)).astype(np.float32)
+    v = rng.standard_normal((37, 3)).astype(np.float32)
+    p_native = tmp_path / "a.vtk"
+    p_py = tmp_path / "b.vtk"
+    native.write_vtk(str(p_native), x, v)
+    lib = native._LIB
+    try:
+        native._LIB = None          # force the fallback
+        native._TRIED = True
+        native.write_vtk(str(p_py), x, v)
+    finally:
+        native._LIB = lib
+        native._TRIED = True
+    a, b = p_native.read_bytes(), p_py.read_bytes()
+    assert a == b
+    assert a.startswith(b"# vtk DataFile Version 3.0")
+    assert b"POINTS 37 float" in a and b"VECTORS v float" in a
