@@ -255,8 +255,52 @@ def twisting_bar_vonmises_3d(res: int = 64, E: float = 1e6, ppc: int = 8,
     return out
 
 
+def wheel_3d(res: int = 64, E: float = 1e6, ppc: int = 8,
+             yield_stress: float = 1.5e4, omega: float = 8.0 * np.pi,
+             dtype=jnp.float32):
+    """Spinning elastoplastic wheel dropped on a frictional floor — the
+    paper's "wheel" scene family (reference: MultigridInit test cases
+    beyond the three acceptance scenes): a cylinder-sampled StVK-Hencky
+    disc with von Mises yield, initialized with rigid spin about its axis.
+    """
+    from hot_tpu.sim.seeding import sample_cylinder
+
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, -9.81, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    center = np.asarray([0.5, 0.42, 0.5])
+    axis = np.asarray([0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(12)
+    x, vol = sample_cylinder(key, center, axis, radius=0.16, half_height=0.05,
+                             dx=dx, particles_per_cell=ppc, dtype=dtype)
+    mu, lam = lame_parameters(E, 0.3)
+    state = make_particle_state(
+        x, particle_volume=vol, density=1200.0, mu=mu, lam=lam, dtype=dtype
+    )
+    # rigid initial spin about the wheel axis: v = omega x r
+    rel = state.x - jnp.asarray(center, state.x.dtype)[None, :]
+    w_vec = jnp.asarray(axis * omega, state.x.dtype)
+    v0 = jnp.cross(jnp.broadcast_to(w_vec, rel.shape), rel)
+    state = state.replace(
+        v=v0.astype(state.v.dtype),
+        yield_stress=jnp.full((state.n,), yield_stress, state.x.dtype),
+    )
+    colliders = (
+        HalfSpace(kind=SLIP, friction=0.5, origin=(0.0, 0.2, 0.0),
+                  n=(0.0, 1.0, 0.0)),
+    )
+    return dict(cfg=cfg, state=state, model=MODEL_REGISTRY["stvk_hencky"],
+                colliders=colliders, plasticity="von_mises")
+
+
 SCENES = {
     "block_drop_2d": block_drop_2d,
+    "wheel_3d": wheel_3d,
     "twisting_bar_3d": twisting_bar_3d,
     "twisting_bar_vonmises_3d": twisting_bar_vonmises_3d,
     "stacked_boxes_3d": stacked_boxes_3d,

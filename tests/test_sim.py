@@ -298,3 +298,21 @@ def test_vtk_writer_native_matches_python(tmp_path):
     assert a == b
     assert a.startswith(b"# vtk DataFile Version 3.0")
     assert b"POINTS 37 float" in a and b"VECTORS v float" in a
+
+
+def test_wheel_scene_spins_and_steps():
+    """wheel_3d: rigid initial spin (|v| = omega*r), and the implicit step
+    runs with plasticity engaged."""
+    scene = build_scene("wheel_3d", res=24, ppc=2)
+    st = scene["state"]
+    import numpy as np
+    rel = np.asarray(st.x) - np.asarray([0.5, 0.42, 0.5])
+    r = np.linalg.norm(rel[:, :2], axis=-1)
+    speed = np.linalg.norm(np.asarray(st.v), axis=-1)
+    np.testing.assert_allclose(speed, 8.0 * np.pi * r, rtol=1e-5)
+    sim = Simulation(scene["cfg"], st, scene["model"], scene["colliders"],
+                     plasticity=scene["plasticity"])
+    for _ in range(3):
+        stats = sim.step(1e-3)
+    assert bool(stats.converged)
+    assert np.isfinite(np.asarray(sim.state.x)).all()
