@@ -60,6 +60,7 @@ def advance_one_step(
     bin_caps: Optional[Tuple[int, int]] = None,  # (cells_capacity, per-cell cap)
     mg_tile_caps: Optional[Tuple[int, ...]] = None,  # per-MG-level tile caps
     bsr_tile_cap: Optional[int] = None,  # tile cap for the explicit outer BSR
+    mg_coarse_cap: Optional[int] = None,  # active-row cap of the dense coarse factor
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -74,7 +75,7 @@ def advance_one_step(
         return _advance_one_step_impl(
             state, dt, t, cfg=cfg, model=model, colliders=colliders,
             plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
-            bsr_tile_cap=bsr_tile_cap,
+            bsr_tile_cap=bsr_tile_cap, mg_coarse_cap=mg_coarse_cap,
         )
 
 
@@ -90,6 +91,7 @@ def _advance_one_step_impl(
     bin_caps: Optional[Tuple[int, int]] = None,
     mg_tile_caps: Optional[Tuple[int, ...]] = None,
     bsr_tile_cap: Optional[int] = None,
+    mg_coarse_cap: Optional[int] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -303,6 +305,18 @@ def _advance_one_step_impl(
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
+        mgc = sol.multigrid
+        if mgc.coarse_capacity is None and mg_coarse_cap is not None:
+            import dataclasses as _dc
+
+            mgc = _dc.replace(mgc, coarse_capacity=mg_coarse_cap)
+        if mgc.coarse_solver == "direct" and mgc.coarse_capacity is not None:
+            # active coarsest rows beyond the static capacity would be
+            # silently dropped from the factor -> flag for host regrow
+            grid_overflow = jnp.logical_or(
+                grid_overflow,
+                jnp.sum(mg_static.levels[-1].active) > mgc.coarse_capacity,
+            )
 
         def _ctx_particle_order(ctx):
             # the MG hierarchy is particle-indexed; under the slot-major
@@ -319,12 +333,12 @@ def _advance_one_step_impl(
         def build_precond(hp):
             return mg_mod.build_precond(
                 mg_static, state.F, _ctx_particle_order(hp[0].ctx), state.V0,
-                dt, sol.multigrid, dim
+                dt, mgc, dim
             )
 
         def precond(pstate, r):
             return mg_mod.mg_precondition(
-                mg_static, pstate, state.F, state.V0, dt, sol.multigrid, r
+                mg_static, pstate, state.F, state.V0, dt, mgc, r
             )
     else:
         raise ValueError(f"unknown preconditioner '{sol.preconditioner}'")
@@ -482,7 +496,8 @@ class Simulation:
         self.step_count = 0
         self.retry_count = 0
         self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps(),
-                           self._choose_bsr_tile_cap())
+                           self._choose_bsr_tile_cap(),
+                           self._choose_mg_coarse_cap())
 
     def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
         """Pick static bin capacities from the current state (host-side).
@@ -550,6 +565,38 @@ class Simulation:
             dx = dx * 2.0
         return tuple(caps)
 
+    def _choose_mg_coarse_cap(self, grow: float = 1.0) -> Optional[int]:
+        """Static ACTIVE-row capacity of the dense coarse factor: the
+        factor costs (cap*d)^2, so sizing it by the active coarsest nodes
+        (instead of the whole coarse grid) is what keeps deep hierarchies
+        from OOMing (604 MB at a full 16^3 coarsest, measured)."""
+        cfg = self.cfg
+        sol = cfg.solver
+        if (sol.preconditioner != "multigrid"
+                or sol.multigrid.coarse_solver != "direct"
+                or sol.multigrid.coarse_capacity is not None
+                or cfg.grid_backend != "dense"):
+            return None
+        import numpy as np
+
+        dim = cfg.dim
+        x = np.asarray(self.state.x)
+        L = sol.multigrid.levels
+        res = np.asarray(cfg.grid_res[:dim], np.int64)
+        dx = cfg.dx
+        for _ in range(L - 1):
+            res = (res + 1) // 2
+            dx = dx * 2.0
+        base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
+        strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
+        ids = []
+        offs = np.stack(np.meshgrid(*([np.arange(3)] * dim), indexing="ij"),
+                        -1).reshape(-1, dim)
+        for off in offs:
+            ids.append((np.clip(base + off, 0, res - 1) * strides).sum(axis=1))
+        count = len(np.unique(np.concatenate(ids)))
+        return int(np.ceil(grow * (1.2 * count + 16)))
+
     def _choose_bsr_tile_cap(self, grow: float = 1.0) -> Optional[int]:
         """Static tile capacity for the explicit outer BSR operator
         (matrix_free=False): tile-row layout + supertile SpMV."""
@@ -566,10 +613,12 @@ class Simulation:
 
     def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]],
                       mg_tile_caps: Optional[Tuple[int, ...]] = None,
-                      bsr_tile_cap: Optional[int] = None):
+                      bsr_tile_cap: Optional[int] = None,
+                      mg_coarse_cap: Optional[int] = None):
         self._bin_caps = bin_caps
         self._mg_tile_caps = mg_tile_caps
         self._bsr_tile_cap = bsr_tile_cap
+        self._mg_coarse_cap = mg_coarse_cap
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -580,6 +629,7 @@ class Simulation:
                 bin_caps=bin_caps,
                 mg_tile_caps=mg_tile_caps,
                 bsr_tile_cap=bsr_tile_cap,
+                mg_coarse_cap=mg_coarse_cap,
             )
         )
 
@@ -610,7 +660,8 @@ class Simulation:
                 # are sized tight; on overflow, regrow + recompile (amortized)
                 # and redo the step — the overflowed result dropped particles.
                 if (self._bin_caps is None and self._mg_tile_caps is None
-                        and self._bsr_tile_cap is None) or regrows >= 8:
+                        and self._bsr_tile_cap is None
+                        and self._mg_coarse_cap is None) or regrows >= 8:
                     raise RuntimeError(
                         f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
                         f" of {self.cfg.tile_capacity} tiles); raise "
@@ -635,11 +686,15 @@ class Simulation:
                 if new_bsr is not None:
                     fresh_bsr = self._choose_bsr_tile_cap(grow=1.3) or new_bsr
                     new_bsr = max(fresh_bsr, new_bsr + 8)
+                new_ccap = self._mg_coarse_cap
+                if new_ccap is not None:
+                    fresh_ccap = self._choose_mg_coarse_cap(grow=1.3) or new_ccap
+                    new_ccap = max(fresh_ccap, new_ccap + 64)
                 self.metrics.log(event="bin_regrow",
                                  old=list(old or ()), new=list(new_caps or ()),
                                  mg=list(new_mg or ()),
-                                 bsr=new_bsr)
-                self._rebuild_step(new_caps, new_mg, new_bsr)
+                                 bsr=new_bsr, mg_coarse=new_ccap)
+                self._rebuild_step(new_caps, new_mg, new_bsr, new_ccap)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))

@@ -323,25 +323,30 @@ def build_precond(
         lmax.append(lam)
     chol = None
     if cfg.coarse_solver == "direct":
-        chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim)
+        chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim,
+                                    capacity=cfg.coarse_capacity)
     return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                      coarse_chol=chol,
                      mats=tuple(mats) if any_assembled else ())
 
 
-def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int):
+def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
+                         capacity: int = None):
     """Cholesky factor of the BC-projected coarsest operator (reference:
     the Eigen LDLT coarse solve, components #11/#36).
 
     Assembles the coarsest level's BSR from particle quadrature, expands
-    to dense over ALL coarsest nodes (choose `levels` so the coarsest is
-    a few-thousand DoF, as HOT does), projects constrained/inactive DoFs
-    to identity rows/cols, and factors once per Newton iteration.
+    to dense over the ACTIVE coarsest rows (static `capacity`; None = all
+    nodes), projects constrained DoFs to identity rows/cols, and factors
+    once per Newton iteration. Sizing the factor by active rows instead of
+    the full coarse grid is what keeps the memory at (cap*d)^2 — the
+    full-grid factor at a 16^3 coarsest is 604 MB and OOMs a v5e.
     """
     from hot_tpu.ops import bsr as bsr_mod
 
     n_nodes = level.grid_m.shape[0]
-    mat = bsr_mod.structure(level.active, level.res, capacity=n_nodes)
+    mat = bsr_mod.structure(level.active, level.res,
+                            capacity=capacity or n_nodes)
     mat = bsr_mod.assemble_hessian(
         mat, level.stencil, F_n, ctx, V0, dt, level.grid_m
     )

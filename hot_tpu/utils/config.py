@@ -44,6 +44,13 @@ class MultigridConfig:
     # per-particle quadrature applies — HOT's explicit per-level matrices
     # (#35) in the TPU-shaped tile-row layout. Dense grid backend only.
     assembled: bool = False
+    # Static row capacity of the dense coarse factor (coarse_solver =
+    # "direct"): the factor is built over ACTIVE coarsest rows only, so it
+    # costs (capacity*d)^2 instead of (n_nodes*d)^2 — the full-grid factor
+    # at a 16^3 coarsest is 604 MB and OOMs a v5e inside the Newton carry
+    # (measured). None = Simulation auto-chooses from the particle layout
+    # (full n_nodes when driven without a Simulation).
+    coarse_capacity: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -30,24 +30,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp")
 
 
-def solver_for(variant: str, base):
+def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct"):
     from hot_tpu.utils.config import MultigridConfig
 
     exp = variant.endswith("_exp")    # explicit outer BSR (supertile SpMV)
     if variant.startswith("jacobi"):
         return dataclasses.replace(base, preconditioner="block_jacobi",
                                    matrix_free=not exp)
+    # levels=4 at 64^3 keeps the coarsest at 8^3 (1536 DoF): the dense
+    # coarse factor is (n_nodes*d)^2 over ALL coarsest nodes, so levels=3
+    # (16^3 -> 604 MB factor) OOMs the step's Newton carry on a v5e.
     mg = MultigridConfig(
-        levels=3,
+        levels=levels,
         smoother="chebyshev",
-        coarse_solver="direct",
+        coarse_solver=coarse,
         assembled=variant.startswith("mg_asm"),
     )
     return dataclasses.replace(base, preconditioner="multigrid", multigrid=mg,
                                matrix_free=not exp)
 
 
-def run_one(variant: str, res: int, steps: int, dt: float) -> dict:
+def run_one(variant: str, res: int, steps: int, dt: float,
+            levels: int = 4, coarse: str = "direct") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +62,7 @@ def run_one(variant: str, res: int, steps: int, dt: float) -> dict:
     enable_compilation_cache()
     scene = build_scene("twisting_bar_3d", res=res, ppc=8)
     cfg = scene["cfg"]
-    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver))
+    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver, levels, coarse))
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
 
     t_compile0 = time.perf_counter()
@@ -97,19 +101,22 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--dt", type=float, default=2e-3)
     ap.add_argument("--timeout", type=float, default=1500.0)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--coarse", default="direct")
     ap.add_argument("--variants", default=",".join(VARIANTS))
     args = ap.parse_args()
 
     if args.one:
-        print(json.dumps(run_one(args.one, args.res, args.steps, args.dt)),
-              flush=True)
+        print(json.dumps(run_one(args.one, args.res, args.steps, args.dt,
+                                 args.levels, args.coarse)), flush=True)
         return
 
     results = []
     for v in args.variants.split(","):
         cmd = [sys.executable, os.path.abspath(__file__), "--one", v,
                "--res", str(args.res), "--steps", str(args.steps),
-               "--dt", str(args.dt)]
+               "--dt", str(args.dt), "--levels", str(args.levels),
+               "--coarse", args.coarse]
         print(f"[ab] running {v} ...", file=sys.stderr, flush=True)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
