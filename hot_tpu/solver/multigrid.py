@@ -347,9 +347,17 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
     n_nodes = level.grid_m.shape[0]
     mat = bsr_mod.structure(level.active, level.res,
                             capacity=capacity or n_nodes)
-    mat = bsr_mod.assemble_hessian(
-        mat, level.stencil, F_n, ctx, V0, dt, level.grid_m
-    )
+    if level.bins is not None:
+        # scatter-free binned assembly. The colliding-scatter path's
+        # (n*3^2d, d^2) operand gets TPU lane padding d^2 -> 128: measured
+        # 19.4 GB at 52k particles in 3D — a compile-time OOM.
+        mat = bsr_mod.assemble_hessian_binned(
+            mat, level.bins, level.stencil, F_n, ctx, V0, dt, level.grid_m
+        )
+    else:
+        mat = bsr_mod.assemble_hessian(
+            mat, level.stencil, F_n, ctx, V0, dt, level.grid_m
+        )
     free_rows = level.free[jnp.minimum(mat.node_of, n_nodes - 1)]
     free_rows = jnp.logical_and(free_rows, mat.node_of < n_nodes)
     # dense matrix built COMPONENT-WISE: every intermediate keeps two large
