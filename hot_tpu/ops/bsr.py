@@ -303,6 +303,133 @@ def assemble_hessian_binned(
     return mat._replace(vals=vals)
 
 
+def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
+    """Rank-1 eigen-mode factorization of every particle's quadrature
+    contribution (the TPU-shaped assembly formulation).
+
+    The diagonal-space dP/dF is EXACTLY 9 rank-1 modes in 3D (4 in 2D):
+    eigh of the (d, d) normal block A gives d diagonal modes
+    M = U diag(q) V^T, and each shear pair (i, j) gives a symmetric mode
+    (E_ij + E_ji)/sqrt(2) with eigenvalue b_minus and an antisymmetric one
+    with b_plus (see models.constitutive.apply_hessian's 2x2 blocks). So
+
+      block[j, i][b, a] = dt^2 V0 sum_m lam_m z[m, j, b] z[m, i, a],
+      z[m, k] = M_m (F^T grad-w_k),
+
+    i.e. cell sums become ONE batched Z^T (lam Z) matmul — no explicit
+    (d, d, d, d) tensors anywhere. (The 6D dPdF intermediates of the
+    einsum formulation pick up TPU tile padding on their tiny minor dims:
+    measured 19-57x inflation = 9 GB at a coarse MG level.)
+
+    Returns (Z (n, M, s*d), lam_scaled (n, M)) with lam_scaled = dt^2 V0 lam.
+    """
+    from hot_tpu.ops.svd import eigh_sym
+
+    n, s = stencil.wn.shape
+    n_pairs = 1 if dim == 2 else 3
+    M = dim + 2 * n_pairs
+
+    def per_particle(gwn_p, F_p, ctx_p, V0_p):
+        g = gwn_p @ F_p                              # (s, d): g_k = F^T gw_k
+        y = g @ ctx_p.V                              # (s, d): V^T g_k rows
+        w, Q = eigh_sym(ctx_p.A)                     # A = Q diag(w) Q^T
+        zs = []
+        lams = []
+        for k in range(dim):                         # diagonal modes
+            zs.append((y * Q[:, k][None, :]) @ ctx_p.U.T)
+            lams.append(w[k])
+        inv_sqrt2 = 0.7071067811865476
+        for k, (i, j) in enumerate(cm._pairs(dim)):  # shear-pair modes
+            zs.append(
+                (y[:, j:j + 1] * ctx_p.U[None, :, i]
+                 + y[:, i:i + 1] * ctx_p.U[None, :, j]) * inv_sqrt2
+            )
+            lams.append(ctx_p.b_minus[k])
+            zs.append(
+                (y[:, j:j + 1] * ctx_p.U[None, :, i]
+                 - y[:, i:i + 1] * ctx_p.U[None, :, j]) * inv_sqrt2
+            )
+            lams.append(ctx_p.b_plus[k])
+        Z = jnp.stack(zs)                            # (M, s, d)
+        lam = jnp.stack(lams) * (dt * dt * V0_p)     # (M,)
+        return Z.reshape(M, s * dim), lam
+
+    return jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)
+
+
+def assemble_hessian_modes(
+    mat: BsrMatrix, bins, stencil: transfer.Stencil, F_n, ctx, V0, dt, grid_m,
+) -> BsrMatrix:
+    """Scatter-free BSR assembly via the rank-1 mode factorization: per-cell
+    block sums are ONE batched MXU matmul B = (lam Z)^T Z over the cell's
+    (slot, mode) rows; then the same per-j-offset unique scatters as
+    assemble_hessian_binned. Equivalent to assemble_hessian — tested."""
+    import numpy as _np
+
+    dim = mat.dim
+    assert mat.half == 2
+    K = mat.K
+    s = stencil.wn.shape[1]
+    n = stencil.wn.shape[0]
+    n_nodes = transfer.n_nodes_of(mat.res)
+    n_rows = mat.n_rows
+    cells_cap, cap = bins.p_cell.shape
+    sd = s * dim
+
+    Z, lam = _mode_vectors(stencil, F_n, ctx, V0, dt, dim)   # (n, M, sd), (n, M)
+    Mm = Z.shape[1]
+
+    # one packed row gather into slot order (pad particle -> zero row)
+    packed = jnp.concatenate([Z.reshape(n, -1), lam], axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    rows = packed[bins.p_cell.reshape(-1)]
+    rows = transfer.barrier(rows)
+    Z_s = rows[:, : Mm * sd].reshape(cells_cap, cap * Mm, sd)
+    lam_s = rows[:, Mm * sd:].reshape(cells_cap, cap * Mm)
+
+    # per-cell block sums: (x, jb, ia) = sum_q lamZ[x, q, jb] Z[x, q, ia]
+    B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
+    blocks = B.reshape(cells_cap, s, dim, s, dim).transpose(0, 1, 3, 2, 4)
+
+    # static offset-id table (identical to assemble_hessian_binned)
+    rng3 = _np.arange(3)
+    offs = _np.stack(
+        _np.meshgrid(*([rng3] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    rel = offs[None, :, :] - offs[:, None, :] + 2
+    off_id = _np.zeros((s, s), _np.int64)
+    for a in range(dim):
+        off_id = off_id * 5 + rel[:, :, a]
+    node_strides = _np.array(
+        [int(_np.prod(mat.res[a + 1:])) for a in range(dim)], _np.int64
+    )
+    joff_flat = (offs * node_strides[None, :]).sum(axis=1)
+
+    valid_cell = bins.active_cells < n_nodes
+    vals = jnp.zeros((n_rows + cells_cap, K, dim * dim), blocks.dtype)
+    dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
+    for j in range(s):
+        node_j = bins.active_cells + int(joff_flat[j])
+        r_j = mat.row_of[jnp.clip(node_j, 0, n_nodes - 1)]
+        r_j = jnp.where(valid_cell & (r_j >= 0), r_j, dump_rows)
+        cols_j = jnp.asarray(off_id[j], jnp.int32)
+        vals = vals.at[r_j[:, None], cols_j[None, :]].add(
+            blocks[:, j].reshape(cells_cap, s, dim * dim),
+            unique_indices=True,
+        )
+    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
+
+    center = (K - 1) // 2
+    m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
+    m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
+    eye = jnp.eye(dim, dtype=vals.dtype)
+    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
+    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
+    return mat._replace(vals=vals)
+
+
 def spmv(mat: BsrMatrix, x):
     """y = A x on row vectors x: (n_rows, d)."""
     safe_cols = jnp.maximum(mat.col_row, 0)

@@ -305,7 +305,7 @@ def _assemble_level(level: SMGLevel, F, ctx, V0, dt):
         ((level.planes + 2 * HALO) * level.plane_nodes,), F.dtype
     )
     if level.bins is not None:
-        return bsr_mod.assemble_hessian_binned(
+        return bsr_mod.assemble_hessian_modes(
             level.mat_sym, level.bins, level.st, F, ctx, V0, dt, no_mass
         )
     return bsr_mod.assemble_hessian(

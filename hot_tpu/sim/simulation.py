@@ -61,6 +61,7 @@ def advance_one_step(
     mg_tile_caps: Optional[Tuple[int, ...]] = None,  # per-MG-level tile caps
     bsr_tile_cap: Optional[int] = None,  # tile cap for the explicit outer BSR
     mg_coarse_cap: Optional[int] = None,  # active-row cap of the dense coarse factor
+    mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,  # exact per-MG-level bin caps
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -76,6 +77,7 @@ def advance_one_step(
             state, dt, t, cfg=cfg, model=model, colliders=colliders,
             plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
             bsr_tile_cap=bsr_tile_cap, mg_coarse_cap=mg_coarse_cap,
+            mg_bin_caps=mg_bin_caps,
         )
 
 
@@ -92,6 +94,7 @@ def _advance_one_step_impl(
     mg_tile_caps: Optional[Tuple[int, ...]] = None,
     bsr_tile_cap: Optional[int] = None,
     mg_coarse_cap: Optional[int] = None,
+    mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -253,9 +256,10 @@ def _advance_one_step_impl(
                 model, objective, v, project_spd=sol.project_hessian
             )
             if bins is not None:
-                # scatter-free assembly (XLA:TPU serializes the colliding
-                # per-particle block scatter — docs/KERNEL_PLAN.md)
-                mat = bsr_mod.assemble_hessian_binned(
+                # scatter-free rank-1-mode assembly (XLA:TPU serializes the
+                # colliding per-particle block scatter; the einsum binned
+                # form tile-pads its 6D intermediates — docs/KERNEL_PLAN.md)
+                mat = bsr_mod.assemble_hessian_modes(
                     mat0, bins, st, state.F, hess.ctx, state.V0, dt, grid_m
                 )
             else:
@@ -302,6 +306,7 @@ def _advance_one_step_impl(
             tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
             bin_caps=(bin_caps if use_binned else None),
             mg_tile_caps=(mg_tile_caps if cfg.grid_backend == "dense" else None),
+            mg_bin_caps=(mg_bin_caps if cfg.grid_backend == "dense" else None),
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
@@ -497,7 +502,8 @@ class Simulation:
         self.retry_count = 0
         self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps(),
                            self._choose_bsr_tile_cap(),
-                           self._choose_mg_coarse_cap())
+                           self._choose_mg_coarse_cap(),
+                           self._choose_mg_bin_caps())
 
     def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
         """Pick static bin capacities from the current state (host-side).
@@ -565,6 +571,35 @@ class Simulation:
             dx = dx * 2.0
         return tuple(caps)
 
+    def _choose_mg_bin_caps(self, grow: float = 1.0):
+        """EXACT per-MG-level (cells_cap, cap) from the current particle
+        layout (the shift heuristic in build_static inflates padded slot
+        counts ~10x once the coarse cell count floors)."""
+        cfg = self.cfg
+        sol = cfg.solver
+        if (sol.preconditioner != "multigrid" or cfg.grid_backend != "dense"
+                or self._choose_bin_caps() is None):
+            return None
+        import numpy as np
+
+        dim = cfg.dim
+        x = np.asarray(self.state.x)
+        res = np.asarray(cfg.grid_res[:dim], np.int64)
+        dx = cfg.dx
+        caps = []
+        for _ in range(sol.multigrid.levels):
+            base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
+            strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
+            cells = (base * strides).sum(axis=1)
+            uniq, counts = np.unique(cells, return_counts=True)
+            caps.append((
+                int(grow * (1.15 * len(uniq) + 16)),
+                int(np.ceil(grow * (counts.max() + 1))),
+            ))
+            res = (res + 1) // 2
+            dx = dx * 2.0
+        return tuple(caps)
+
     def _choose_mg_coarse_cap(self, grow: float = 1.0) -> Optional[int]:
         """Static ACTIVE-row capacity of the dense coarse factor: the
         factor costs (cap*d)^2, so sizing it by the active coarsest nodes
@@ -614,11 +649,13 @@ class Simulation:
     def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]],
                       mg_tile_caps: Optional[Tuple[int, ...]] = None,
                       bsr_tile_cap: Optional[int] = None,
-                      mg_coarse_cap: Optional[int] = None):
+                      mg_coarse_cap: Optional[int] = None,
+                      mg_bin_caps=None):
         self._bin_caps = bin_caps
         self._mg_tile_caps = mg_tile_caps
         self._bsr_tile_cap = bsr_tile_cap
         self._mg_coarse_cap = mg_coarse_cap
+        self._mg_bin_caps = mg_bin_caps
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -630,6 +667,7 @@ class Simulation:
                 mg_tile_caps=mg_tile_caps,
                 bsr_tile_cap=bsr_tile_cap,
                 mg_coarse_cap=mg_coarse_cap,
+                mg_bin_caps=mg_bin_caps,
             )
         )
 
@@ -690,11 +728,19 @@ class Simulation:
                 if new_ccap is not None:
                     fresh_ccap = self._choose_mg_coarse_cap(grow=1.3) or new_ccap
                     new_ccap = max(fresh_ccap, new_ccap + 64)
+                new_mgb = self._mg_bin_caps
+                if new_mgb is not None:
+                    fresh_mgb = self._choose_mg_bin_caps(grow=1.3) or new_mgb
+                    new_mgb = tuple(
+                        (max(fc, oc + 64), max(fp, op + 2))
+                        for (fc, fp), (oc, op) in zip(fresh_mgb, new_mgb)
+                    )
                 self.metrics.log(event="bin_regrow",
                                  old=list(old or ()), new=list(new_caps or ()),
                                  mg=list(new_mg or ()),
                                  bsr=new_bsr, mg_coarse=new_ccap)
-                self._rebuild_step(new_caps, new_mg, new_bsr, new_ccap)
+                self._rebuild_step(new_caps, new_mg, new_bsr, new_ccap,
+                                   new_mgb)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))

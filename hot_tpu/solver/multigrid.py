@@ -99,7 +99,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 
 def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
-    bin_caps=None, mg_tile_caps=None,
+    bin_caps=None, mg_tile_caps=None, mg_bin_caps=None,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -112,6 +112,11 @@ def build_static(
 
     tile_capacity > 0 builds every level on a block-sparse tile grid
     (same capacity per level) instead of dense logical grids.
+
+    mg_bin_caps: EXACT per-level (cells_cap, cap) CellBins capacities
+    (host-chosen). Without it, coarse-level caps come from a shift
+    heuristic off `bin_caps` that overshoots badly once the cell count
+    floors (measured 10x slot inflation at a 8^3 coarsest level).
 
     mg_tile_caps: per-level static tile capacities for ASSEMBLED levels
     (dense logical grids only): each level also gets a tile grid + symbolic
@@ -129,7 +134,8 @@ def build_static(
     levels = []
     embeds = []
     embed_bins_list = []
-    overflow = jnp.zeros((), bool) if assembled else None
+    track_overflow = assembled or bin_caps is not None or mg_bin_caps is not None
+    overflow = jnp.zeros((), bool) if track_overflow else None
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained
@@ -143,11 +149,19 @@ def build_static(
             tg = None
             st = transfer.particle_stencil(x, cur_dx, cur_res)
             n_nodes = transfer.n_nodes_of(cur_res)
-            if bin_caps is not None:
-                # coarser levels: ~8x fewer cells, ~8x more particles/cell
+            if mg_bin_caps is not None:
+                cells_cap, cap = mg_bin_caps[l]
+                bins_l = transfer.bin_particles(x, cur_dx, cur_res,
+                                                int(cells_cap), int(cap))
+            elif bin_caps is not None:
+                # coarser levels: ~8x fewer cells, ~8x more particles/cell;
+                # cap is bounded by the particle count (the shift heuristic
+                # otherwise inflates padded slots ~10x at deep levels)
                 cells_cap = max(bin_caps[0] >> (len(res) * l), 64)
-                cap = bin_caps[1] << (len(res) * l)
+                cap = min(bin_caps[1] << (len(res) * l), x.shape[0])
                 bins_l = transfer.bin_particles(x, cur_dx, cur_res, cells_cap, cap)
+            if bins_l is not None and track_overflow:
+                overflow = jnp.logical_or(overflow, bins_l.overflow)
         if bins_l is not None:
             grid_m = transfer.binned_scatter(bins_l, st.wn * m[:, None], cur_res)
         else:
@@ -286,9 +300,10 @@ def build_precond(
             from hot_tpu.ops import bsr as bsr_mod
 
             if level.bins is not None:
-                # scatter-free assembly (XLA:TPU serializes colliding
-                # scatter-adds: 4.2 s vs this path — docs/KERNEL_PLAN.md)
-                mat = bsr_mod.assemble_hessian_binned(
+                # scatter-free rank-1-mode assembly (XLA:TPU serializes
+                # colliding scatter-adds, and the einsum formulation's 6D
+                # dPdF intermediates tile-pad 19-57x — docs/KERNEL_PLAN.md)
+                mat = bsr_mod.assemble_hessian_modes(
                     level.mat_sym, level.bins, level.stencil, F_n, ctx, V0,
                     dt, level.grid_m
                 )
@@ -348,10 +363,11 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
     mat = bsr_mod.structure(level.active, level.res,
                             capacity=capacity or n_nodes)
     if level.bins is not None:
-        # scatter-free binned assembly. The colliding-scatter path's
-        # (n*3^2d, d^2) operand gets TPU lane padding d^2 -> 128: measured
-        # 19.4 GB at 52k particles in 3D — a compile-time OOM.
-        mat = bsr_mod.assemble_hessian_binned(
+        # scatter-free rank-1-mode assembly. The colliding-scatter path's
+        # (n*3^2d, d^2) operand gets TPU lane padding d^2 -> 128 (19.4 GB
+        # at 52k particles), and the binned einsum formulation's 6D dPdF
+        # intermediates tile-pad up to 57x (9 GB) — both compile-time OOMs.
+        mat = bsr_mod.assemble_hessian_modes(
             mat, level.bins, level.stencil, F_n, ctx, V0, dt, level.grid_m
         )
     else:

@@ -273,6 +273,56 @@ def test_assemble_hessian_binned_matches(rng):
     np.testing.assert_allclose(np.asarray(m_bin.vals), np.asarray(m_ref.vals),
                                rtol=0, atol=1e-9 * scale)
 
+    # rank-1 mode-factorized assembly (B = Z^T lam Z per cell): the
+    # TPU-shaped formulation with no (d,d,d,d) intermediates — must build
+    # the identical operator
+    m_modes = bsr_mod.assemble_hessian_modes(
+        mat0, bins, st, state.F, hess.ctx, state.V0, dt, gm
+    )
+    np.testing.assert_allclose(np.asarray(m_modes.vals), np.asarray(m_ref.vals),
+                               rtol=0, atol=1e-9 * scale)
+
+
+def test_assemble_hessian_modes_matches_2d(rng):
+    """Mode-factorized assembly in 2D (4 modes: 2 diag + 1 pair x 2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hot_tpu.ops import bsr as bsr_mod
+    from hot_tpu.ops import transfer
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import objective as obj_mod
+
+    scene = build_scene("block_drop_2d", res=24, dtype=jnp.float64)
+    cfg, state, model = scene["cfg"], scene["state"], scene["model"]
+    res = cfg.grid_res[:2]
+    n_nodes = transfer.n_nodes_of(res)
+    dt = jnp.asarray(4e-3, state.x.dtype)
+    st = transfer.particle_stencil(state.x, cfg.dx, res)
+    gm, _ = transfer.p2g_mass_momentum(st, state.v, state.C, state.m, n_nodes)
+    obj = obj_mod.make_objective(
+        model, st, state.F, state.V0, state.mu, state.lam, gm,
+        jnp.zeros((n_nodes, 2), state.x.dtype),
+        jnp.broadcast_to(jnp.eye(2, dtype=state.x.dtype), (n_nodes, 2, 2)),
+        dt, cfg.dx,
+    )
+    # a deformed linearization point so shear modes are exercised
+    v_lin = 0.5 * jnp.sin(
+        jnp.arange(n_nodes * 2, dtype=state.x.dtype)
+    ).reshape(n_nodes, 2)
+    hess = obj_mod.build_hessian(model, obj, v_lin)
+    active = gm > 0
+    mat0 = bsr_mod.structure(active, res, capacity=int(jnp.sum(active)) + 8)
+    m_ref = bsr_mod.assemble_hessian(mat0, st, state.F, hess.ctx, state.V0, dt, gm)
+    bins = transfer.bin_particles(state.x, cfg.dx, res, 2048, 16)
+    assert not bool(bins.overflow)
+    m_modes = bsr_mod.assemble_hessian_modes(
+        mat0, bins, st, state.F, hess.ctx, state.V0, dt, gm
+    )
+    scale = float(jnp.abs(m_ref.vals).max())
+    np.testing.assert_allclose(np.asarray(m_modes.vals), np.asarray(m_ref.vals),
+                               rtol=0, atol=1e-9 * scale)
+
 
 def test_explicit_bsr_step_matches_matrix_free():
     """matrix_free=False end-to-end (HOT's --matfree off): the explicit-BSR
