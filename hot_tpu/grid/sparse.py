@@ -22,6 +22,7 @@ tile >= 3 nodes; we use tile = 4 (64-node tiles in 3D, 16-node in 2D).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax
@@ -31,13 +32,19 @@ from hot_tpu.ops import transfer
 from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
 
 
-class TileGrid(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TileGrid:
     tile_ids: jax.Array     # (T,) int32 flat logical tile index; pad = n_tiles
     lookup: jax.Array       # (n_tiles,) int32 tile -> slot, -1 inactive
     n_active: jax.Array     # () int32 number of active tiles
     overflow: jax.Array     # () bool — capacity exceeded this build
-    res: Tuple[int, ...]    # node resolution (static)
-    tile: int               # nodes per tile edge (static)
+    # static metadata (aux data — stays Python across jit boundaries)
+    res: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    tile: int = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw) -> "TileGrid":
+        return dataclasses.replace(self, **kw)
 
     @property
     def dim(self) -> int:

@@ -38,14 +38,22 @@ from hot_tpu.sim import objective as obj_mod
 from hot_tpu.utils.config import MultigridConfig
 
 
-class MGLevel(NamedTuple):
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MGLevel:
     stencil: transfer.Stencil   # particle stencil at this level's spacing
     grid_m: jax.Array           # (n_nodes_l,) node mass (particle P2G at dx_l)
     active: jax.Array           # (n_nodes_l,) bool
     free: jax.Array             # (n_nodes_l,) bool — active and unconstrained
-    dx: float
-    res: Tuple[int, ...]
-    bins: object                # CellBins for the binned transfer path
+    # static metadata: stays Python across jit boundaries (a NamedTuple
+    # would trace dx/res into arrays when a level crosses a jit boundary,
+    # breaking every static slice downstream)
+    dx: float = dataclasses.field(metadata=dict(static=True))
+    res: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    bins: object = None         # CellBins for the binned transfer path
                                 # (None on sparse tile grids)
     # assembled-operator extras (None unless mg_tile_caps requested them):
     # per-level tile grid + symbolic BSR structure + neighbor-slot table,
@@ -54,6 +62,9 @@ class MGLevel(NamedTuple):
     mat_sym: object = None      # ops.bsr.BsrMatrix (tile-row order, zero vals)
     nbr: object = None          # (T_cap, 3^dim) neighbor tile slots
     free_rows: object = None    # (n_rows,) bool
+
+    def _replace(self, **kw) -> "MGLevel":
+        return dataclasses.replace(self, **kw)
 
     @property
     def scatter(self):
