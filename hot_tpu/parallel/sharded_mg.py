@@ -454,7 +454,9 @@ def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D):
     A = A + jnp.diag(diag_fix)
     eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
     A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
-    return jax.scipy.linalg.cho_factor(A)
+    # factor array only (see solver.multigrid._coarse_dense_factor)
+    c, _ = jax.scipy.linalg.cho_factor(A)
+    return c
 
 
 def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
@@ -463,7 +465,7 @@ def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
     b_full = jax.lax.all_gather(
         b_local.reshape(level.planes, level.plane_nodes, d), axis, tiled=True
     ).reshape(-1)
-    x = jax.scipy.linalg.cho_solve(chol, b_full)
+    x = jax.scipy.linalg.cho_solve((chol, False), b_full)
     x = x.reshape(-1, level.plane_nodes, d)
     dev = jax.lax.axis_index(axis)
     x_local = jax.lax.dynamic_slice_in_dim(x, dev * level.planes, level.planes, 0)

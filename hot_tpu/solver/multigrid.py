@@ -414,16 +414,19 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
     # operator semi-definite at machine precision
     eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
     A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
-    return (jax.scipy.linalg.cho_factor(A), mat)
+    # store the factor ARRAY only: cho_factor's `lower` bool would become a
+    # traced (unhashable) leaf if the precond pytree crosses a jit boundary
+    c, _ = jax.scipy.linalg.cho_factor(A)
+    return (c, mat)
 
 
 def _coarse_dense_solve(chol_and_mat, b, n_nodes: int):
-    (chol, mat) = chol_and_mat
+    (c, mat) = chol_and_mat
     from hot_tpu.ops import bsr as bsr_mod
 
     b_rows = bsr_mod.grid_vector_to_rows(mat, b)
     d = b.shape[1]
-    x = jax.scipy.linalg.cho_solve(chol, b_rows.reshape(-1))
+    x = jax.scipy.linalg.cho_solve((c, False), b_rows.reshape(-1))
     return bsr_mod.rows_to_grid_vector(mat, x.reshape(-1, d), n_nodes)
 
 
