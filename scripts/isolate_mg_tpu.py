@@ -76,6 +76,27 @@ def main():
         d_np *= 2.0
     print(f"[info] per-level bin caps: {caps}", flush=True)
 
+    tile_caps = None
+    if args.assembled:
+        tile_caps = []
+        r_np = np.asarray(res, np.int64)
+        d_np = dx
+        for _ in range(args.levels):
+            tile_res = -(-r_np // 4)
+            strides = np.concatenate([np.cumprod(tile_res[::-1])[::-1][1:], [1]])
+            base = np.clip(np.floor(x_np / d_np - 0.5).astype(np.int64), 0, r_np - 1)
+            tids = []
+            for mask in range(2 ** dim):
+                sel = np.array([(mask >> a) & 1 for a in range(dim)])
+                corner = np.clip(base + 2 * sel[None, :], 0, r_np - 1)
+                tids.append(((corner // 4) * strides).sum(axis=1))
+            count = len(np.unique(np.concatenate(tids)))
+            tile_caps.append(int(1.2 * count + 8))
+            r_np = (r_np + 1) // 2
+            d_np *= 2.0
+        tile_caps = tuple(tile_caps)
+        print(f"[info] per-level tile caps: {tile_caps}", flush=True)
+
     t0 = stage("P2G + objective inputs (jit)")
     with jax.default_matmul_precision("highest"):
         st = jax.jit(lambda x: transfer.particle_stencil(x, dx, res))(state.x)
@@ -96,7 +117,7 @@ def main():
     build = jax.jit(lambda x, m, cons: mg_mod.build_static(
         x, m, res, dx, args.levels, cons, state.x.dtype,
         bin_caps=caps[0], mg_bin_caps=tuple(caps),
-        mg_tile_caps=None,
+        mg_tile_caps=tile_caps,
     ))
     mg = build(state.x, state.m, constrained)
     jax.block_until_ready(mg.levels[-1].grid_m)
@@ -122,6 +143,31 @@ def main():
             y = f(y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
             jax.block_until_ready(y)
         done(t0, f"(second call {time.perf_counter() - t1:.3f}s)")
+
+    if args.assembled:
+        from hot_tpu.ops import bsr as bsr_mod
+        from hot_tpu.ops import bsr_tiled
+
+        for l in range(args.levels):
+            t0 = stage(f"assemble level {l} (modes) + spmv_tiled (jit)")
+            with jax.default_matmul_precision("highest"):
+                lv = mg.levels[l]
+
+                def asm_mul(F, V0, w, lv=lv):
+                    mat = bsr_mod.assemble_hessian_modes(
+                        lv.mat_sym, lv.bins, lv.stencil, F, ctx, V0, dt,
+                        lv.grid_m)
+                    return bsr_tiled.spmv_tiled(mat, lv.tgrid, lv.nbr, w)
+
+                f = jax.jit(asm_mul)
+                w = jnp.ones((lv.mat_sym.n_rows, dim), state.x.dtype)
+                y = f(state.F, state.V0, w)
+                jax.block_until_ready(y)
+                t1 = time.perf_counter()
+                y = f(state.F, state.V0,
+                      y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+                jax.block_until_ready(y)
+            done(t0, f"(second call {time.perf_counter() - t1:.3f}s)")
 
     t0 = stage("build_precond (jit) — block diags + power iters, no direct")
     with jax.default_matmul_precision("highest"):
@@ -173,6 +219,56 @@ def main():
             zz = vc_d(zz / jnp.maximum(jnp.max(jnp.abs(zz)), 1e-30))
         jax.block_until_ready(zz)
     done(t0)
+
+    t0 = stage("newton_solve with MG precond (jit, the step's solver core)")
+    from hot_tpu.sim import objective as obj_mod
+    from hot_tpu.solver.newton import newton_solve
+
+    def solve_once(x, m, v, C, F, V0, mu, lam, t):
+        with jax.default_matmul_precision("highest"):
+            st_ = transfer.particle_stencil(x, dx, res)
+            gm_, gmv_ = transfer.p2g_mass_momentum(st_, v, C, m, n_nodes)
+            act = gm_ > 0
+            vg_ = gmv_ * jnp.where(act, 1.0 / jnp.maximum(gm_, 1e-30), 0.0)[:, None]
+            npos = transfer.node_positions(res, dx, x.dtype)
+            proj, v_bc, cons = collision.grid_boundary_conditions(
+                npos, t, scene["colliders"], grid_v=vg_, boundary_margin=2,
+                res=res, dx=dx)
+            v0_ = collision.apply_bc_to_velocity(vg_, proj, v_bc)
+            obj = obj_mod.make_objective(model, st_, F, V0, mu, lam, gm_,
+                                         v0_, proj, dt, dx)
+            mgh = mg_mod.build_static(
+                x, m, res, dx, args.levels, cons, x.dtype,
+                bin_caps=caps[0], mg_bin_caps=tuple(caps),
+                mg_tile_caps=tile_caps)
+            import dataclasses as _dc
+
+            mgcfg = _dc.replace(mgc, coarse_solver="direct",
+                                coarse_capacity=ccap)
+            lin = lambda vv: obj_mod.linearize(model, obj, vv)
+            result = newton_solve(
+                multiply=lambda hp, w: obj_mod.multiply(obj, hp, w),
+                project=lambda r: obj_mod.project(obj, r),
+                precondition=lambda ps, r: mg_mod.mg_precondition(
+                    mgh, ps, F, V0, dt, mgcfg, r),
+                build_preconditioner=lambda hp: mg_mod.build_precond(
+                    mgh, F, hp.ctx, V0, dt, mgcfg, dim),
+                cn_norm=lambda r: obj_mod.cn_norm(obj, r),
+                v0=v0_, max_newton=10, cn_eps=1e-2, cg_tol=1e-3,
+                max_cg=200, linearize=lin,
+            )
+            return result.v, result.iters, result.cg_iters
+
+    f = jax.jit(solve_once)
+    vout, it, cg = f(state.x, state.m, state.v, state.C, state.F,
+                     state.V0, state.mu, state.lam, jnp.float32(0.0))
+    jax.block_until_ready(vout)
+    t1 = time.perf_counter()
+    vout, it, cg = f(state.x, state.m, state.v * 1.0001, state.C, state.F,
+                     state.V0, state.mu, state.lam, jnp.float32(0.0))
+    jax.block_until_ready(vout)
+    done(t0, f"newton={int(it)} cg={int(cg)} (second call "
+             f"{time.perf_counter() - t1:.3f}s)")
     print("[all stages passed]", flush=True)
 
 
