@@ -51,63 +51,77 @@ def embedding_weights(coords_f, dtype):
     return base, w
 
 
+def rap_half_out(half_in: int) -> int:
+    """Output stencil half of P^T A P: ceil(h/2) + 2. Fixed point at 4, so
+    recursive Galerkin hierarchies have 5 -> 7 -> 9 -> 9 ... wide levels."""
+    return (half_in + 1) // 2 + 2
+
+
 def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
-        coarse_capacity: int) -> bsr_mod.BsrMatrix:
-    """A_c = P^T A P with node-embedding prolongation. A must be 5-wide."""
-    assert A.half == 2, "rap expects a quadrature (5-wide) fine matrix"
+        coarse_capacity: int, mem_budget: int = 1 << 28) -> bsr_mod.BsrMatrix:
+    """A_c = P^T A P with node-embedding prolongation, any stencil half.
+
+    Chunked over the fine-stencil and embedding axes so no intermediate
+    exceeds ~mem_budget bytes (the full (R, Kf, 3^d, d, d) products reach
+    several GB at fine levels).
+    """
     dim = A.dim
+    h = A.half
     dtype = A.vals.dtype
     Kf = A.K
+    dd = dim * dim
     n_nodes_f = transfer.n_nodes_of(A.res)
     res_c = jnp.asarray(coarse_res, jnp.int32)
 
     coords = transfer.unravel(jnp.minimum(A.node_of, n_nodes_f - 1), A.res)
     valid_row = A.node_of < n_nodes_f
 
-    offs_f = bsr_mod._offsets(dim, A.half)            # (Kf, dim)
+    offs_f = bsr_mod._offsets(dim, h)                 # (Kf, dim)
     emb_offs = stencil_offsets(dim)                   # (3^dim, dim)
     s_emb = emb_offs.shape[0]
 
-    # ---- step 1: W = A P  (fine rows x coarse window of 5^dim) ----------
-    # window base for row j: floor(c_j/2 - 0.5) - 1  (coarse coords)
+    # ---- step 1: W = A P  (fine rows x coarse window) --------------------
+    # base_i of any neighbor lies within ceil(h/2) of base_j per axis
+    wm = (h + 1) // 2                                 # window margin
+    W1d = 2 * wm + 3
+    KW = W1d**dim
     base_j, w_j = embedding_weights(coords, dtype)    # embeds of row node j
-    win_base = base_j - 1
-    KW = 5**dim                                       # coarse window per fine row
-
-    # neighbor i = coords + off; its coarse embedding:
-    ncoords = coords[:, None, :] + offs_f[None, :, :]          # (R, Kf, dim)
-    base_i, w_i = jax.vmap(
-        lambda c: embedding_weights(c, dtype), in_axes=1, out_axes=1
-    )(ncoords)                                                  # (R, Kf, dim), (R, Kf, 3^dim)
-
-    # window index of each coarse node of i's stencil
-    widx_coord = (
-        base_i[:, :, None, :] + emb_offs[None, None, :, :] - win_base[:, None, None, :]
-    )                                                           # (R, Kf, 3^d, dim)
-    in_win = jnp.all((widx_coord >= 0) & (widx_coord < 5), axis=-1)
-    widx = jnp.zeros(widx_coord.shape[:-1], jnp.int32)
-    for a in range(dim):
-        widx = widx * 5 + jnp.clip(widx_coord[..., a], 0, 4)
-
-    present = (A.col_row >= 0)[:, :, None] & in_win & valid_row[:, None, None]
-    contrib = (
-        A.vals[:, :, None, :, :] * w_i[:, :, :, None, None]
-    )                                                           # (R, Kf, 3^d, d, d)
-    contrib = jnp.where(present[..., None, None], contrib, 0.0)
+    win_base = base_j - wm
 
     R_rows = A.n_rows
-    flat = (jnp.arange(R_rows)[:, None, None] * KW + widx).reshape(-1)
-    flat = jnp.where(present.reshape(-1), flat, R_rows * KW)
-    W = jnp.zeros((R_rows * KW + 1, dim * dim), dtype)
-    W = W.at[flat].add(contrib.reshape(-1, dim * dim))[:-1]
-    W = W.reshape(R_rows, KW, dim, dim)
+    # chunk Kf so the (R, kfc, 3^d, dd) product stays under budget
+    kfc = max(1, min(Kf, mem_budget // max(R_rows * s_emb * dd * 4, 1)))
+    W = jnp.zeros((R_rows * KW + 1, dd), dtype)
+    for k0 in range(0, Kf, kfc):
+        k1 = min(k0 + kfc, Kf)
+        ncoords = coords[:, None, :] + offs_f[None, k0:k1, :]   # (R, kc, dim)
+        base_i, w_i = jax.vmap(
+            lambda c: embedding_weights(c, dtype), in_axes=1, out_axes=1
+        )(ncoords)                                              # (R, kc, ...)
+        widx_coord = (
+            base_i[:, :, None, :] + emb_offs[None, None, :, :]
+            - win_base[:, None, None, :]
+        )                                                       # (R, kc, 3^d, dim)
+        in_win = jnp.all((widx_coord >= 0) & (widx_coord < W1d), axis=-1)
+        widx = jnp.zeros(widx_coord.shape[:-1], jnp.int32)
+        for a in range(dim):
+            widx = widx * W1d + jnp.clip(widx_coord[..., a], 0, W1d - 1)
+        present = ((A.col_row[:, k0:k1] >= 0)[:, :, None] & in_win
+                   & valid_row[:, None, None])
+        contrib = (A.vals[:, k0:k1, None, :, :]
+                   * w_i[:, :, :, None, None])                  # (R, kc, 3^d, d, d)
+        contrib = jnp.where(present[..., None, None], contrib, 0.0)
+        flat = (jnp.arange(R_rows)[:, None, None] * KW + widx).reshape(-1)
+        flat = jnp.where(present.reshape(-1), flat, R_rows * KW)
+        W = W.at[flat].add(contrib.reshape(-1, dd))
+    W = W[:-1].reshape(R_rows, KW, dim, dim)
 
-    # ---- step 2: A_c = P^T W  (scatter into 7-wide coarse stencil) ------
-    A_c = bsr_mod.structure(coarse_active, coarse_res, coarse_capacity, half=3)
+    # ---- step 2: A_c = P^T W (scatter into the coarse stencil) -----------
+    h_c = rap_half_out(h)
+    A_c = bsr_mod.structure(coarse_active, coarse_res, coarse_capacity,
+                            half=h_c)
     Kc = A_c.K
-    n_nodes_c = transfer.n_nodes_of(coarse_res)
 
-    # coarse row node for each embed entry of j
     strides_c = []
     s = 1
     for r in reversed(coarse_res):
@@ -117,24 +131,28 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
 
     Jc_coord = base_j[:, None, :] + emb_offs[None, :, :]        # (R, 3^d, dim)
     Jc_ok = jnp.all((Jc_coord >= 0) & (Jc_coord < res_c[None, None, :]), axis=-1)
-    Jc_node = jnp.sum(jnp.clip(Jc_coord, 0, res_c - 1) * strides_c[None, None, :], axis=-1)
+    Jc_node = jnp.sum(jnp.clip(Jc_coord, 0, res_c - 1)
+                      * strides_c[None, None, :], axis=-1)
     Jc_row = jnp.where(Jc_ok, A_c.row_of[Jc_node], -1)          # (R, 3^d)
 
-    # coarse col node for each window entry
-    offs_w = bsr_mod._offsets(dim, 2)                           # window offsets [-2,2]
-    Ic_coord = (base_j - 1 + 2)[:, None, :] + offs_w[None, :, :]  # = win_base + widx
-    # rel offset Ic - Jc in [-3, 3]
-    rel = Ic_coord[:, None, :, :] - Jc_coord[:, :, None, :]     # (R, 3^d, KW, dim)
-    rel_ok = jnp.all(jnp.abs(rel) <= 3, axis=-1)
-    oid = jnp.zeros(rel.shape[:-1], jnp.int32)
-    for a in range(dim):
-        oid = oid * 7 + jnp.clip(rel[..., a] + 3, 0, 6)
-
-    ok = Jc_ok[:, :, None] & rel_ok & (Jc_row >= 0)[:, :, None] & valid_row[:, None, None]
-    flat2 = jnp.where(ok, Jc_row[:, :, None] * Kc + oid, A_c.n_rows * Kc).reshape(-1)
-    vals2 = (w_j[:, :, None, None, None] * W[:, None, :, :, :])
-    vals2 = jnp.where(ok[..., None, None], vals2, 0.0).reshape(-1, dim * dim)
-    out = jnp.zeros((A_c.n_rows * Kc + 1, dim * dim), dtype)
-    out = out.at[flat2].add(vals2)[:-1].reshape(A_c.n_rows, Kc, dim, dim)
+    offs_w = bsr_mod._offsets(dim, wm + 1)                      # window offsets
+    out = jnp.zeros((A_c.n_rows * Kc + 1, dd), dtype)
+    # chunk the embedding axis of j so (R, KW, dd) stays under budget
+    for e0 in range(s_emb):
+        Jc_e = Jc_coord[:, e0, :]                               # (R, dim)
+        Ic_coord = (win_base + wm + 1)[:, None, :] + offs_w[None, :, :]
+        rel = Ic_coord - Jc_e[:, None, :]                       # (R, KW, dim)
+        rel_ok = jnp.all(jnp.abs(rel) <= h_c, axis=-1)
+        oid = jnp.zeros(rel.shape[:-1], jnp.int32)
+        for a in range(dim):
+            oid = oid * (2 * h_c + 1) + jnp.clip(rel[..., a] + h_c, 0, 2 * h_c)
+        ok = (Jc_ok[:, e0, None] & rel_ok & (Jc_row[:, e0] >= 0)[:, None]
+              & valid_row[:, None])
+        flat2 = jnp.where(ok, Jc_row[:, e0, None] * Kc + oid,
+                          A_c.n_rows * Kc).reshape(-1)
+        vals2 = w_j[:, e0, None, None, None] * W
+        vals2 = jnp.where(ok[..., None, None], vals2, 0.0).reshape(-1, dd)
+        out = out.at[flat2].add(vals2)
+    out = out[:-1].reshape(A_c.n_rows, Kc, dim, dim)
     out = jnp.where((A_c.col_row >= 0)[:, :, None, None], out, 0.0)
     return A_c._replace(vals=out)

@@ -252,31 +252,48 @@ def _mat_of(pre: "MGPrecond", l: int):
     return pre.mats[l] if pre.mats else None
 
 
+def _rows_mul(level: MGLevel, mat):
+    """Row-vector SpMV for an explicit level operator: the supertile kernel
+    when the matrix is in tile-row layout (half=2, quadrature assembly),
+    the generic gather SpMV otherwise (Galerkin RAP levels: 7/9-wide
+    stencils in compressed-row order)."""
+    if mat.half == 2 and level.tgrid is not None:
+        from hot_tpu.ops import bsr_tiled
+
+        return lambda w: bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w)
+    from hot_tpu.ops import bsr as bsr_mod
+
+    return lambda w: bsr_mod.spmv(mat, w)
+
+
+def _free_rows_of(level: MGLevel, mat):
+    """Free mask in the ROW order of `mat` (whatever its structure)."""
+    n_nodes = level.grid_m.shape[0]
+    ok = mat.node_of < n_nodes
+    return jnp.logical_and(level.free[jnp.minimum(mat.node_of, n_nodes - 1)],
+                           ok)
+
+
 def level_multiply_any(level: MGLevel, mat, F_n, ctx, V0, dt, w):
-    """A_l w on dense level vectors; assembled supertile SpMV when mat is
-    available (same operator: both integrate M + dt^2 K over the identical
-    particle quadrature — equality is tested), quadrature apply otherwise."""
+    """A_l w on dense level vectors; explicit SpMV when mat is available
+    (quadrature-assembled tile-row or Galerkin RAP), quadrature apply
+    otherwise."""
     if mat is None:
         return level_multiply(level, F_n, ctx, V0, dt, w)
     from hot_tpu.ops import bsr as bsr_mod
-    from hot_tpu.ops import bsr_tiled
 
-    y_rows = bsr_tiled.spmv_tiled(
-        mat, level.tgrid, level.nbr, bsr_mod.grid_vector_to_rows(mat, w)
-    )
+    y_rows = _rows_mul(level, mat)(bsr_mod.grid_vector_to_rows(mat, w))
     y = bsr_mod.rows_to_grid_vector(mat, y_rows, level.grid_m.shape[0])
     return jnp.where(level.active[:, None], y, w)
 
 
 def _level_ops_rows(level: MGLevel, mat):
-    """(mul, proj) on tile-ROW vectors for an assembled level."""
-    from hot_tpu.ops import bsr_tiled
-
-    def mul(w):
-        return bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w)
+    """(mul, proj) on ROW vectors for an explicit-operator level."""
+    mul = _rows_mul(level, mat)
+    free_rows = _free_rows_of(level, mat)
 
     def proj(r):
-        return jnp.where(level.free_rows[:, None], r, 0.0)
+        return jnp.where(free_rows[:, None], r, 0.0)
 
     return mul, proj
 
@@ -306,11 +323,23 @@ def build_precond(
     lmax = []
     mats = []
     any_assembled = any(lv.mat_sym is not None for lv in mg.levels)
+    galerkin = cfg.coarsening == "galerkin" and any_assembled
+    prev_mat = None
     for l, level in enumerate(mg.levels):
         if level.mat_sym is not None:
             from hot_tpu.ops import bsr as bsr_mod
 
-            if level.bins is not None:
+            if galerkin and l > 0:
+                # Galerkin coarse operator A_l = P^T A_{l-1} P (structured
+                # SpGEMM) — consistency of the coarse CORRECTION is what
+                # makes the V-cycle contract; the rediscretized hierarchy
+                # measured vred 114 (divergent as an iteration) on the
+                # twisting bar where this one measures 0.06.
+                from hot_tpu.ops import spgemm
+
+                mat = spgemm.rap(prev_mat, level.res, level.active,
+                                 level.mat_sym.n_rows)
+            elif level.bins is not None:
                 # scatter-free rank-1-mode assembly (XLA:TPU serializes
                 # colliding scatter-adds, and the einsum formulation's 6D
                 # dPdF intermediates tile-pad 19-57x — docs/KERNEL_PLAN.md)
@@ -323,12 +352,14 @@ def build_precond(
                     level.mat_sym, level.stencil, F_n, ctx, V0, dt, level.grid_m
                 )
             mats.append(mat)
+            prev_mat = mat
+            free_rows = _free_rows_of(level, mat)
             eye = jnp.eye(dim, dtype=mat.vals.dtype)
-            D = jnp.where(level.free_rows[:, None, None],
+            D = jnp.where(free_rows[:, None, None],
                           bsr_mod.block_diag(mat), eye[None])
             Dinv = jnp.linalg.inv(D)
             mul, proj = _level_ops_rows(level, mat)
-            v0 = level.free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
+            v0 = free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
         else:
             mats.append(None)
             D = obj_mod.elastic_block_diag(
@@ -349,8 +380,15 @@ def build_precond(
         lmax.append(lam)
     chol = None
     if cfg.coarse_solver == "direct":
-        chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim,
-                                    capacity=cfg.coarse_capacity)
+        if galerkin and mats[-1] is not None:
+            # factor the already-built Galerkin coarsest operator
+            lv = mg.levels[-1]
+            chol = (_dense_factor_from_mat(mats[-1],
+                                           _free_rows_of(lv, mats[-1]), dim),
+                    mats[-1])
+        else:
+            chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim,
+                                        capacity=cfg.coarse_capacity)
     return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                      coarse_chol=chol,
                      mats=tuple(mats) if any_assembled else ())
@@ -387,10 +425,16 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
         )
     free_rows = level.free[jnp.minimum(mat.node_of, n_nodes - 1)]
     free_rows = jnp.logical_and(free_rows, mat.node_of < n_nodes)
-    # dense matrix built COMPONENT-WISE: every intermediate keeps two large
-    # trailing dims. (A (rows*cols, d, d) intermediate gets TPU tile padding
-    # on the tiny (d, d) minor dims — measured 57x inflation, 34 GB at a
-    # 4096-row coarsest level.)
+    return (_dense_factor_from_mat(mat, free_rows, dim), mat)
+
+
+def _dense_factor_from_mat(mat, free_rows, dim: int):
+    """Cholesky factor array of a BC-projected explicit BSR operator.
+
+    Dense matrix built COMPONENT-WISE: every intermediate keeps two large
+    trailing dims. (A (rows*cols, d, d) intermediate gets TPU tile padding
+    on the tiny (d, d) minor dims — measured 57x inflation, 34 GB at a
+    4096-row coarsest level.)"""
     cols = jnp.maximum(mat.col_row, 0)
     ok = (mat.col_row >= 0) & free_rows[:, None] & free_rows[cols]
     vals = jnp.where(ok[:, :, None, None], mat.vals, 0.0)
@@ -417,7 +461,7 @@ def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
     # store the factor ARRAY only: cho_factor's `lower` bool would become a
     # traced (unhashable) leaf if the precond pytree crosses a jit boundary
     c, _ = jax.scipy.linalg.cho_factor(A)
-    return (c, mat)
+    return c
 
 
 def _coarse_dense_solve(chol_and_mat, b, n_nodes: int):

@@ -44,6 +44,15 @@ class MultigridConfig:
     # per-particle quadrature applies — HOT's explicit per-level matrices
     # (#35) in the TPU-shaped tile-row layout. Dense grid backend only.
     assembled: bool = False
+    # Coarse-operator construction (assembled mode):
+    #   galerkin   — A_{l+1} = P^T A_l P via structured SpGEMM (ops.spgemm).
+    #                Guarantees correction consistency: measured vred 0.06
+    #                and 5 CG iters on the twisting-bar state where the
+    #                rediscretized hierarchy DIVERGES (vred 114, 121 CG).
+    #   quadrature — re-integrate particles at 2^l spacing (cheaper build,
+    #                inconsistent corrections under large deformation/BCs;
+    #                kept for A/B and as the matrix-free levels' semantics).
+    coarsening: str = "galerkin"
     # Static row capacity of the dense coarse factor (coarse_solver =
     # "direct"): the factor is built over ACTIVE coarsest rows only, so it
     # costs (capacity*d)^2 instead of (n_nodes*d)^2 — the full-grid factor

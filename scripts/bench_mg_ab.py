@@ -30,9 +30,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp")
 
 
-def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct"):
+def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
+               pallas_apply=None):
     from hot_tpu.utils.config import MultigridConfig
 
+    if pallas_apply is not None:
+        base = dataclasses.replace(base, pallas_apply=pallas_apply)
     exp = variant.endswith("_exp")    # explicit outer BSR (supertile SpMV)
     if variant.startswith("jacobi"):
         return dataclasses.replace(base, preconditioner="block_jacobi",
@@ -51,7 +54,8 @@ def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct"):
 
 
 def run_one(variant: str, res: int, steps: int, dt: float,
-            levels: int = 4, coarse: str = "direct") -> dict:
+            levels: int = 4, coarse: str = "direct",
+            pallas_apply=None, transfer=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +66,9 @@ def run_one(variant: str, res: int, steps: int, dt: float,
     enable_compilation_cache()
     scene = build_scene("twisting_bar_3d", res=res, ppc=8)
     cfg = scene["cfg"]
-    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver, levels, coarse))
+    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver, levels, coarse, pallas_apply))
+    if transfer:
+        cfg = dataclasses.replace(cfg, transfer_impl=transfer)
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
 
     t_compile0 = time.perf_counter()
@@ -103,12 +109,17 @@ def main():
     ap.add_argument("--timeout", type=float, default=1500.0)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--coarse", default="direct")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--transfer", default=None)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     args = ap.parse_args()
 
     if args.one:
         print(json.dumps(run_one(args.one, args.res, args.steps, args.dt,
-                                 args.levels, args.coarse)), flush=True)
+                                 args.levels, args.coarse,
+                                 False if args.no_pallas else None,
+                                 args.transfer)),
+              flush=True)
         return
 
     results = []
@@ -116,7 +127,8 @@ def main():
         cmd = [sys.executable, os.path.abspath(__file__), "--one", v,
                "--res", str(args.res), "--steps", str(args.steps),
                "--dt", str(args.dt), "--levels", str(args.levels),
-               "--coarse", args.coarse]
+               "--coarse", args.coarse] + (["--no-pallas"] if args.no_pallas else []) + (
+                  ["--transfer", args.transfer] if args.transfer else [])
         print(f"[ab] running {v} ...", file=sys.stderr, flush=True)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -227,6 +227,11 @@ def main():
     def solve_once(x, m, v, C, F, V0, mu, lam, t):
         with jax.default_matmul_precision("highest"):
             st_ = transfer.particle_stencil(x, dx, res)
+            # the step's binned transfer machinery (bisect: the standalone
+            # solver with plain scatters runs; the full step faults)
+            bins_ = transfer.bin_particles(x, dx, res, caps[0][0], caps[0][1])
+            sct = transfer.make_binned_scatter(bins_, res)
+            gth = transfer.make_binned_gather(bins_, res)
             gm_, gmv_ = transfer.p2g_mass_momentum(st_, v, C, m, n_nodes)
             act = gm_ > 0
             vg_ = gmv_ * jnp.where(act, 1.0 / jnp.maximum(gm_, 1e-30), 0.0)[:, None]
@@ -236,7 +241,7 @@ def main():
                 res=res, dx=dx)
             v0_ = collision.apply_bc_to_velocity(vg_, proj, v_bc)
             obj = obj_mod.make_objective(model, st_, F, V0, mu, lam, gm_,
-                                         v0_, proj, dt, dx)
+                                         v0_, proj, dt, dx, scatter=sct)
             mgh = mg_mod.build_static(
                 x, m, res, dx, args.levels, cons, x.dtype,
                 bin_caps=caps[0], mg_bin_caps=tuple(caps),
@@ -245,9 +250,12 @@ def main():
 
             mgcfg = _dc.replace(mgc, coarse_solver="direct",
                                 coarse_capacity=ccap)
-            lin = lambda vv: obj_mod.linearize(model, obj, vv)
+            lin = lambda vv: obj_mod.linearize(model, obj, vv,
+                                               scatter=sct, gather_st=gth)
             result = newton_solve(
-                multiply=lambda hp, w: obj_mod.multiply(obj, hp, w),
+                multiply=lambda hp, w: obj_mod.multiply(obj, hp, w,
+                                                        scatter=sct,
+                                                        gather_st=gth),
                 project=lambda r: obj_mod.project(obj, r),
                 precondition=lambda ps, r: mg_mod.mg_precondition(
                     mgh, ps, F, V0, dt, mgcfg, r),

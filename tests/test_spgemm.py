@@ -100,3 +100,39 @@ def test_rap_symmetric_psd():
     np.testing.assert_allclose(A, A.T, atol=1e-8)
     w = np.linalg.eigvalsh(A)
     assert w.min() > -1e-7, w.min()
+
+
+def test_rap_recursive_matches_dense():
+    """Two-level recursion: rap on the 7-wide RAP output must equal the
+    dense P2^T (P1^T A P1) P2 (the galerkin MG hierarchy's level-2 op)."""
+    mat, obj, hess, state, gm, active, n_nodes = _setup(res=20)
+    res_f = mat.res
+    res_c = tuple((r + 1) // 2 for r in res_f)
+    res_cc = tuple((r + 1) // 2 for r in res_c)
+
+    nc = int(np.prod(res_c))
+    ncc = int(np.prod(res_cc))
+    A_c = spgemm.rap(mat, res_c, jnp.ones(nc, bool), nc)
+    assert A_c.half == spgemm.rap_half_out(2) == 3
+    A_cc = spgemm.rap(A_c, res_cc, jnp.ones(ncc, bool), ncc)
+    assert A_cc.half == spgemm.rap_half_out(3) == 4
+
+    d = 2
+    nf = n_nodes
+    node_of = np.asarray(mat.node_of)
+    valid = node_of < nf
+    A_full = np.zeros((nf * d, nf * d))
+    idx = node_of[valid]
+    rmap = np.repeat(idx * d, d) + np.tile(np.arange(d), idx.size)
+    rows = np.repeat(np.where(valid)[0] * d, d) + np.tile(np.arange(d), valid.sum())
+    A_full[np.ix_(rmap, rmap)] = bsr.to_scipy(mat)[np.ix_(rows, rows)]
+
+    P1 = np.kron(_dense_P(res_f, res_c), np.eye(d))
+    P2 = np.kron(_dense_P(res_c, res_cc), np.eye(d))
+    want_full = P2.T @ (P1.T @ A_full @ P1) @ P2
+
+    got = bsr.to_scipy(A_cc)    # rows == coarse-coarse nodes (capacity=ncc,
+                                # all active)
+    node_cc = np.asarray(A_cc.node_of)
+    sel = np.repeat(node_cc * d, d) + np.tile(np.arange(d), node_cc.size)
+    np.testing.assert_allclose(got, want_full[np.ix_(sel, sel)], atol=1e-9)
