@@ -90,7 +90,8 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
 
     R_rows = A.n_rows
     # chunk Kf so the (R, kfc, 3^d, dd) product stays under budget
-    kfc = max(1, min(Kf, mem_budget // max(R_rows * s_emb * dd * 4, 1)))
+    itemsize = jnp.dtype(dtype).itemsize
+    kfc = max(1, min(Kf, mem_budget // max(R_rows * s_emb * dd * itemsize, 1)))
     W = jnp.zeros((R_rows * KW + 1, dd), dtype)
     for k0 in range(0, Kf, kfc):
         k1 = min(k0 + kfc, Kf)

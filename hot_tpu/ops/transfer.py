@@ -63,8 +63,16 @@ class CellBins(NamedTuple):
     overflow: jnp.ndarray      # () bool — cell count or per-cell cap exceeded
 
 
-def bin_particles(x, dx, res: Tuple[int, ...], cells_cap: int, cap: int) -> CellBins:
-    """Bin by base-node cell (jit-safe, static shapes; dense grids only)."""
+def bin_particles(x, dx, res: Tuple[int, ...], cells_cap: int, cap: int,
+                  valid=None) -> CellBins:
+    """Bin by base-node cell (jit-safe, static shapes; dense grids only).
+
+    valid: optional (n,) bool — particles with valid == False (e.g. the
+    zero-mass padding slots of the sharded step, which all sit at the slab
+    center and would otherwise pile into ONE cell) are routed straight to
+    the dump slot: they consume no cell entry, no per-cell cap, and never
+    trigger the overflow flag.
+    """
     n = x.shape[0]
     base, _, _ = quadratic_bspline_weights(x, dx)
     res_arr = jnp.asarray(res, jnp.int32)
@@ -72,21 +80,37 @@ def bin_particles(x, dx, res: Tuple[int, ...], cells_cap: int, cap: int) -> Cell
     strides = _row_major_strides(res)
     cell = jnp.sum(base * strides[None, :], axis=-1)
     n_cells = n_nodes_of(res)
+    if valid is not None:
+        # invalid particles get the out-of-range sentinel cell: it sorts
+        # LAST, so real cells always win the unique() table slots
+        cell = jnp.where(valid, cell, n_cells)
 
     active_cells = jnp.unique(cell, size=cells_cap, fill_value=n_cells)
     sorted_cell = jnp.sort(cell)
     distinct = 1 + jnp.sum(sorted_cell[1:] != sorted_cell[:-1])
+    if valid is not None:
+        # the sentinel cell is not a real cell: mask it from the distinct
+        # count (in active_cells it equals the fill value, so downstream
+        # kernels already treat its slot as padding)
+        distinct = distinct - jnp.any(~valid).astype(distinct.dtype)
     overflow_cells = distinct > cells_cap
 
     order = jnp.argsort(cell)
     cell_sorted = cell[order]
+    valid_sorted = (cell_sorted < n_cells) if valid is not None else None
     # slot of each particle's cell in the compacted table
     cslot = jnp.searchsorted(active_cells, cell_sorted)
     cslot = jnp.clip(cslot, 0, cells_cap - 1)
     pos = jnp.arange(n) - jnp.searchsorted(cell_sorted, cell_sorted, side="left")
-    overflow = jnp.logical_or(overflow_cells, jnp.any(pos >= cap))
+    over_cap = pos >= cap
+    if valid_sorted is not None:
+        over_cap = jnp.logical_and(over_cap, valid_sorted)
+    overflow = jnp.logical_or(overflow_cells, jnp.any(over_cap))
     slot = cslot * cap + jnp.minimum(pos, cap - 1)
-    slot = jnp.where(pos < cap, slot, cells_cap * cap)
+    keep = pos < cap
+    if valid_sorted is not None:
+        keep = jnp.logical_and(keep, valid_sorted)
+    slot = jnp.where(keep, slot, cells_cap * cap)
     p_cell = jnp.full((cells_cap * cap + 1,), n, jnp.int32)
     p_cell = p_cell.at[slot].set(order.astype(jnp.int32))[:-1].reshape(cells_cap, cap)
     # inverse: slot of each particle (in original particle order)

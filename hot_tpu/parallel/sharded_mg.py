@@ -65,6 +65,12 @@ class SMGStatic(NamedTuple):
     levels: Tuple[SMGLevel, ...]
     embeds: Tuple[transfer.Stencil, ...]  # owned level-l nodes -> level-(l+1)
                                           # extended-slab ids
+    # OR of per-level bin/tile-grid overflow flags on THIS device (None when
+    # nothing capacity-bounded was built); callers must psum/any across the
+    # mesh before acting on it. Undersized mg_bin_caps would silently drop
+    # real particles' Hessian blocks from the distributed operator — this
+    # flag is what lets the host regrow instead.
+    overflow: object = None
 
 
 class SMGPrecond(NamedTuple):
@@ -155,6 +161,10 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
 
     levels = []
     embeds = []
+    track_overflow = mg_tile_caps is not None or mg_bin_caps is not None
+    overflow = jnp.zeros((), bool) if track_overflow else None
+    real = ps_m > 0   # padding slots carry m == 0 and sit at the slab
+                      # center — keep them out of bins/caps entirely
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained0
@@ -182,11 +192,14 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
             )
             mat_l = bsr_tiled.structure_tiled(tg_l)
             nbr_l = bsr_tiled.tile_neighbors(tg_l)
+            overflow = jnp.logical_or(overflow, tg_l.overflow)
             if mg_bin_caps is not None and mg_bin_caps[l] is not None:
                 cells_cap, cap = mg_bin_caps[l]
                 bins_l = transfer.bin_particles(
-                    x_local, cur_dx, res_ext, int(cells_cap), int(cap)
+                    x_local, cur_dx, res_ext, int(cells_cap), int(cap),
+                    valid=real,
                 )
+                overflow = jnp.logical_or(overflow, bins_l.overflow)
         lvl = SMGLevel(st=st, gids=gids, grid_m=None, active=None, free=None,
                        planes=planes_l, plane_nodes=plane_nodes,
                        res=cur_res, dx=cur_dx, tgrid=tg_l, mat_sym=mat_l,
@@ -220,7 +233,8 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
         )
         cons = w_cons > 0.25 * jnp.maximum(w_total, 1e-30)
         cur_res, cur_dx = nxt_res, nxt_dx
-    return SMGStatic(levels=tuple(levels), embeds=tuple(embeds))
+    return SMGStatic(levels=tuple(levels), embeds=tuple(embeds),
+                     overflow=overflow)
 
 
 def _owned_positions(dev, planes, res, dx_l, dtype):

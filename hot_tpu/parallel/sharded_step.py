@@ -47,6 +47,11 @@ class ShardedStepStats(NamedTuple):
     cn_residual: jax.Array
     converged: jax.Array
     partition_overflow: jax.Array
+    # any device's MG bin/tile capacities overflowed this step (assembled
+    # sharded MG) — the operator silently dropped contributions; the caller
+    # must regrow caps and redo the step, like the single-device regrow path
+    # (None default avoids creating a device array at import time)
+    grid_overflow: object = None
 
 
 def _partition_state(state: ParticleState, dx, res, D: int, n_max: int):
@@ -266,6 +271,7 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
         # multigrid: the sharded node-embedding hierarchy — slab-partitioned
         # fine levels with halo collectives, agglomerated coarsest solve
         # (parallel.sharded_mg; SURVEY.md §5.7's design).
+        grid_overflow = jnp.zeros((), bool)
         if sol.preconditioner == "multigrid":
             from hot_tpu.parallel import sharded_mg as smg_mod
 
@@ -293,6 +299,11 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
                 axis, D, dtype, mg_tile_caps=mg_tile_caps,
                 mg_bin_caps=mg_bin_caps,
             )
+            if smg.overflow is not None:
+                # replicate across the mesh so the stats out-spec holds
+                grid_overflow = jax.lax.psum(
+                    smg.overflow.astype(jnp.int32), axis
+                ) > 0
 
             def build_preconditioner(ctx):
                 return smg_mod.build_precond(
@@ -364,6 +375,7 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
             cn_residual=result.cn_residual,
             converged=result.converged,
             partition_overflow=jnp.zeros((), bool),
+            grid_overflow=grid_overflow,
         )
         return out, stats
 

@@ -190,10 +190,13 @@ class Cylinder(Collider):
         wr = jnp.maximum(d_r, 0.0)
         wy = jnp.maximum(d_y, 0.0)
         g_out = wr[:, None] * rad_dir + wy[:, None] * cap_dir
-        g_out = g_out / jnp.maximum(
-            jnp.linalg.norm(g_out, axis=-1, keepdims=True), 1e-12
-        )
+        g_norm = jnp.linalg.norm(g_out, axis=-1, keepdims=True)
+        g_out = g_out / jnp.maximum(g_norm, 1e-12)
         g_in = jnp.where((d_r > d_y)[:, None], rad_dir, cap_dir)
+        # exactly-on-surface points have wr == wy == 0 -> g_out is the zero
+        # vector; use the inside-branch face direction so the normal stays
+        # unit-length everywhere
+        g_out = jnp.where(g_norm > 1e-12, g_out, g_in)
         return jnp.where((jnp.maximum(d_r, d_y) < 0)[:, None], g_in, g_out)
 
 

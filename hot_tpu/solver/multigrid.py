@@ -337,8 +337,16 @@ def build_precond(
                 # twisting bar where this one measures 0.06.
                 from hot_tpu.ops import spgemm
 
-                mat = spgemm.rap(prev_mat, level.res, level.active,
-                                 level.mat_sym.n_rows)
+                cap = level.mat_sym.n_rows
+                if (l == len(mg.levels) - 1 and cfg.coarse_solver == "direct"
+                        and cfg.coarse_capacity is not None):
+                    # compact the coarsest Galerkin operator to its active
+                    # rows: the dense coarse factor is (cap*d)^2, and the
+                    # full tile-row capacity (mg_tile_caps[-1] * 4^dim)
+                    # silently rebuilt the ~600 MB factor the active-rows
+                    # coarse_capacity fix exists to avoid
+                    cap = int(cfg.coarse_capacity)
+                mat = spgemm.rap(prev_mat, level.res, level.active, cap)
             elif level.bins is not None:
                 # scatter-free rank-1-mode assembly (XLA:TPU serializes
                 # colliding scatter-adds, and the einsum formulation's 6D

@@ -158,3 +158,44 @@ def test_slot_scatter_gather_match(rng):
     (got_p,) = transfer.particle_order(bins, [got_rows], n)
     want_g = transfer.gather(g, st.node_ids)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_g), atol=0)
+
+
+def test_bin_particles_valid_mask_excludes_pads(rng):
+    """Pad particles (all piled at one point, the sharded-step layout) must
+    not consume cells/caps or trigger overflow when masked invalid — and
+    the binned scatter of real particles is unchanged (ADVICE r1 #1)."""
+    dim, res, n_real, n_pad = 2, (16, 16), 200, 100
+    dx = 1.0 / 16
+    lo, hi = 2.5 * dx, (res[0] - 3.5) * dx
+    x_real = jnp.asarray(rng.uniform(lo, hi, size=(n_real, dim)))
+    # every pad at the domain center -> one cell holds n_pad of them
+    x_pad = jnp.full((n_pad, dim), 0.5 * res[0] * dx)
+    x = jnp.concatenate([x_real, x_pad], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((n_real,), bool), jnp.zeros((n_pad,), bool)]
+    )
+
+    # cap=8 < n_pad: unmasked binning overflows on the pad pile-up
+    bins_bad = transfer.bin_particles(x, dx, res, cells_cap=512, cap=8)
+    assert bool(bins_bad.overflow)
+    bins = transfer.bin_particles(x, dx, res, cells_cap=512, cap=8,
+                                  valid=valid)
+    assert not bool(bins.overflow)
+
+    # scatter with zero pad values == scatter of the real particles alone
+    st = transfer.particle_stencil(x, dx, res)
+    n_nodes = transfer.n_nodes_of(res)
+    vals = jnp.asarray(rng.standard_normal((n_real + n_pad, st.wn.shape[1], 3)))
+    vals = jnp.where(valid[:, None, None], vals, 0.0)
+    want = transfer.scatter_sum(st.node_ids, vals, n_nodes)
+    got = transfer.binned_scatter(bins, vals, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+    # a genuine overflow among REAL particles must still be flagged
+    x_dense = jnp.concatenate(
+        [jnp.full((20, dim), 0.3), x_pad], axis=0
+    )
+    valid2 = jnp.concatenate([jnp.ones((20,), bool), jnp.zeros((n_pad,), bool)])
+    bins2 = transfer.bin_particles(x_dense, dx, res, cells_cap=512, cap=8,
+                                   valid=valid2)
+    assert bool(bins2.overflow)
