@@ -106,9 +106,41 @@ def quadratic_bspline_weights(x, dx):
     return base.astype(jnp.int32), w, dw
 
 
-def stencil_offsets(dim: int):
-    """All 3^dim integer offsets of the quadratic stencil, shape (3^dim, dim)."""
-    grids = jnp.meshgrid(*([jnp.arange(3)] * dim), indexing="ij")
+def cubic_bspline_weights(x, dx):
+    """Base node + per-axis CUBIC weights (4-wide stencil; reference:
+    BSplines.h cubic branch, component #13's second half).
+
+    Base node b = floor(x/dx) - 1; stencil nodes b..b+3 per axis;
+    u = x/dx - b is in [1, 2).
+    """
+    xs = x / dx
+    base = jnp.floor(xs) - 1.0
+    u = xs - base  # in [1, 2)
+    w = cubic_kernel_1d(u)
+    dw = cubic_kernel_grad_1d(u) / dx
+    return base.astype(jnp.int32), w, dw
+
+
+def bspline_weights(x, dx, kernel: str = "quadratic"):
+    """Dispatch on the kernel family (HOT exposes both; SURVEY.md #13)."""
+    if kernel == "cubic":
+        return cubic_bspline_weights(x, dx)
+    return quadratic_bspline_weights(x, dx)
+
+
+def kernel_width(kernel: str = "quadratic") -> int:
+    return 4 if kernel == "cubic" else 3
+
+
+def apic_d_inv_factor(kernel: str = "quadratic") -> float:
+    """APIC inertia-tensor inverse: D = dx^2/4 I (quadratic), dx^2/3 I
+    (cubic); the returned factor multiplies 1/dx^2."""
+    return 3.0 if kernel == "cubic" else 4.0
+
+
+def stencil_offsets(dim: int, width: int = 3):
+    """All width^dim integer offsets of the stencil, shape (width^dim, dim)."""
+    grids = jnp.meshgrid(*([jnp.arange(width)] * dim), indexing="ij")
     return jnp.stack([g.reshape(-1) for g in grids], axis=-1).astype(jnp.int32)
 
 
@@ -116,26 +148,27 @@ def tensor_weights(w, dw):
     """Combine per-axis weights into per-stencil-node weight and gradient.
 
     Args:
-      w:  (..., dim, 3) per-axis weights.
-      dw: (..., dim, 3) per-axis derivative weights.
+      w:  (..., dim, S) per-axis weights (S = 3 quadratic, 4 cubic).
+      dw: (..., dim, S) per-axis derivative weights.
 
     Returns:
-      wn:  (..., 3^dim) scalar weight per stencil node.
-      gwn: (..., 3^dim, dim) weight gradient per stencil node.
+      wn:  (..., S^dim) scalar weight per stencil node.
+      gwn: (..., S^dim, dim) weight gradient per stencil node.
     """
     dim = w.shape[-2]
+    s = w.shape[-1]
     if dim == 2:
-        wi = w[..., 0, :, None]      # (..., 3, 1)
-        wj = w[..., 1, None, :]      # (..., 1, 3)
-        wn = (wi * wj).reshape(w.shape[:-2] + (9,))
-        gx = (dw[..., 0, :, None] * wj).reshape(w.shape[:-2] + (9,))
-        gy = (wi * dw[..., 1, None, :]).reshape(w.shape[:-2] + (9,))
+        wi = w[..., 0, :, None]      # (..., S, 1)
+        wj = w[..., 1, None, :]      # (..., 1, S)
+        wn = (wi * wj).reshape(w.shape[:-2] + (s * s,))
+        gx = (dw[..., 0, :, None] * wj).reshape(w.shape[:-2] + (s * s,))
+        gy = (wi * dw[..., 1, None, :]).reshape(w.shape[:-2] + (s * s,))
         gwn = jnp.stack([gx, gy], axis=-1)
     elif dim == 3:
         wi = w[..., 0, :, None, None]
         wj = w[..., 1, None, :, None]
         wk = w[..., 2, None, None, :]
-        shape = w.shape[:-2] + (27,)
+        shape = w.shape[:-2] + (s * s * s,)
         wn = (wi * wj * wk).reshape(shape)
         gx = (dw[..., 0, :, None, None] * wj * wk).reshape(shape)
         gy = (wi * dw[..., 1, None, :, None] * wk).reshape(shape)

@@ -26,7 +26,13 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from hot_tpu.ops.bspline import quadratic_bspline_weights, stencil_offsets, tensor_weights
+from hot_tpu.ops.bspline import (
+    bspline_weights,
+    kernel_width,
+    quadratic_bspline_weights,
+    stencil_offsets,
+    tensor_weights,
+)
 
 
 class Stencil(NamedTuple):
@@ -223,12 +229,19 @@ def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
     return out if vec else out[..., 0]
 
 
-def particle_stencil(x, dx, res: Tuple[int, ...]) -> Stencil:
-    """Build the transfer stencil for particle positions x: (n, dim)."""
+def particle_stencil(x, dx, res: Tuple[int, ...],
+                     kernel: str = "quadratic") -> Stencil:
+    """Build the transfer stencil for particle positions x: (n, dim).
+
+    kernel: "quadratic" (3-wide, HOT's default) or "cubic" (4-wide,
+    reference component #13's second kernel family). All downstream
+    scatter/gather/objective code is width-generic; the binned/slot-major
+    fast paths assume quadratic and are bypassed for cubic.
+    """
     dim = x.shape[-1]
-    base, w, dw = quadratic_bspline_weights(x, dx)
+    base, w, dw = bspline_weights(x, dx, kernel)
     wn, gwn = tensor_weights(w, dw)
-    offs = stencil_offsets(dim)                        # (3^dim, dim)
+    offs = stencil_offsets(dim, kernel_width(kernel))  # (S^dim, dim)
     coords = base[:, None, :] + offs[None, :, :]       # (n, 3^dim, dim)
     res_arr = jnp.asarray(res, dtype=jnp.int32)
     coords = jnp.clip(coords, 0, res_arr[None, None, :] - 1)
@@ -441,16 +454,18 @@ def p2g_mass_momentum(st: Stencil, v, C, m, n_nodes: int, scatter=default_scatte
     return grid_m, grid_mv
 
 
-def g2p(st: Stencil, grid_v, dx, gather_st=default_gather_stencil):
+def g2p(st: Stencil, grid_v, dx, gather_st=default_gather_stencil,
+        d_inv_factor: float = 4.0):
     """Gather particle velocity, velocity gradient, and APIC C matrix.
 
-    C = (4/dx^2) sum_i w_ip v_i (x_i - x_p)^T  (quadratic-kernel APIC D^-1).
+    C = (d_inv_factor/dx^2) sum_i w_ip v_i (x_i - x_p)^T — the APIC D^-1;
+    4 for the quadratic kernel, 3 for cubic (bspline.apic_d_inv_factor).
     Reference: gridToParticles (component #26).
     """
     vi = barrier(gather_st(st, grid_v))                # (n, 3^dim, dim)
     v_p = jnp.sum(st.wn[:, :, None] * vi, axis=1)
     grad_v = jnp.einsum("pki,pkj->pij", vi, st.gwn)
-    C = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (4.0 / (dx * dx))
+    C = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (d_inv_factor / (dx * dx))
     return v_p, grad_v, C
 
 

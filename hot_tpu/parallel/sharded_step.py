@@ -155,6 +155,9 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
     D = mesh.shape[axis]
     dim = cfg.dim
     res = cfg.grid_res[:dim]
+    assert cfg.transfer_kernel == "quadratic", (
+        "the sharded step builds quadratic (3-wide, HALO=2) stencils"
+    )
     assert res[0] % D == 0
     planes = res[0] // D
     plane_nodes = 1

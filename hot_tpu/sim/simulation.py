@@ -106,6 +106,10 @@ def _advance_one_step_impl(
     if cfg.grid_backend == "sparse":
         from hot_tpu.grid import sparse as sparse_mod
 
+        if cfg.transfer_kernel != "quadratic":
+            raise NotImplementedError(
+                "cubic transfers require the dense grid backend"
+            )
         tgrid = sparse_mod.build_tile_grid(state.x, dx, res, cfg.tile_capacity)
         st = sparse_mod.sparse_stencil(state.x, dx, tgrid)
         n_nodes = tgrid.n_cnodes
@@ -115,7 +119,8 @@ def _advance_one_step_impl(
     else:
         tgrid = None
         n_nodes = transfer.n_nodes_of(res)
-        st = transfer.particle_stencil(state.x, dx, res)
+        st = transfer.particle_stencil(state.x, dx, res,
+                                       kernel=cfg.transfer_kernel)
         node_pos = transfer.node_positions(res, dx, dtype)
         grid_overflow = jnp.zeros((), bool)
         n_tiles = jnp.zeros((), jnp.int32)
@@ -235,6 +240,11 @@ def _advance_one_step_impl(
             raise NotImplementedError(
                 "explicit BSR currently requires the dense grid backend"
             )
+        if cfg.transfer_kernel != "quadratic":
+            raise NotImplementedError(
+                "explicit BSR assembles the 5-wide quadratic structure; "
+                "use matrix_free=True with cubic transfers"
+            )
         use_tiled_bsr = bsr_tile_cap is not None and bsr_tile_cap > 0
         if use_tiled_bsr:
             # tile-row layout + supertile-window SpMV (ops.bsr_tiled): the
@@ -301,12 +311,18 @@ def _advance_one_step_impl(
         _, _, constrained = collision.grid_boundary_conditions(
             node_pos, t, colliders, grid_v=v_star, boundary_margin=2, res=res, dx=dx
         )
+        if sol.multigrid.assembled and cfg.transfer_kernel != "quadratic":
+            raise NotImplementedError(
+                "assembled MG levels use the 5-wide quadratic BSR; run the "
+                "matrix-free MG (multigrid.assembled=False) with cubic"
+            )
         mg_static = mg_mod.build_static(
             state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype,
             tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
             bin_caps=(bin_caps if use_binned else None),
             mg_tile_caps=(mg_tile_caps if cfg.grid_backend == "dense" else None),
             mg_bin_caps=(mg_bin_caps if cfg.grid_backend == "dense" else None),
+            kernel=cfg.transfer_kernel,
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
@@ -419,9 +435,14 @@ def _advance_one_step_impl(
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
 
     # ---- G2P + state update ----------------------------------------------
-    v_pic, grad_v, C_new = transfer.g2p(st, v_new, dx, gather_st=gather_st)
+    from hot_tpu.ops.bspline import apic_d_inv_factor
+
+    d_inv = apic_d_inv_factor(cfg.transfer_kernel)
+    v_pic, grad_v, C_new = transfer.g2p(st, v_new, dx, gather_st=gather_st,
+                                        d_inv_factor=d_inv)
     if cfg.transfer == "flip":
-        v_old_interp, _, _ = transfer.g2p(st, v_grid, dx, gather_st=gather_st)
+        v_old_interp, _, _ = transfer.g2p(st, v_grid, dx, gather_st=gather_st,
+                                          d_inv_factor=d_inv)
         v_p = (1.0 - cfg.flip_ratio) * v_pic + cfg.flip_ratio * (
             state.v + (v_pic - v_old_interp)
         )
@@ -517,7 +538,9 @@ class Simulation:
         impl = cfg.transfer_impl
         if impl == "auto":
             impl = "binned" if jax.default_backend() == "tpu" else "scatter"
-        if impl != "binned" or cfg.grid_backend != "dense":
+        if (impl != "binned" or cfg.grid_backend != "dense"
+                or cfg.transfer_kernel != "quadratic"):
+            # binned fast path assumes 3-wide quadratic windows
             return None
         import numpy as np
 

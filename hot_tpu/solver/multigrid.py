@@ -111,6 +111,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
     bin_caps=None, mg_tile_caps=None, mg_bin_caps=None,
+    kernel: str = "quadratic",
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -158,7 +159,10 @@ def build_static(
             n_nodes = tg.n_cnodes
         else:
             tg = None
-            st = transfer.particle_stencil(x, cur_dx, cur_res)
+            # quadrature levels widen the SAME kernel family the objective
+            # uses (HOT's construction); the node-embedding P/R below stay
+            # quadratic by definition
+            st = transfer.particle_stencil(x, cur_dx, cur_res, kernel=kernel)
             n_nodes = transfer.n_nodes_of(cur_res)
             if mg_bin_caps is not None:
                 cells_cap, cap = mg_bin_caps[l]

@@ -162,6 +162,11 @@ class SimConfig:
     transfer_impl: str = "auto"
     bin_cells_capacity: int = 0   # 0 = auto (sized from the initial state)
     bin_cap: int = 0              # max particles per cell; 0 = auto
+    # B-spline kernel family (reference component #13 exposes both):
+    # "quadratic" (3-wide, HOT's default for all scenes) or "cubic"
+    # (4-wide). Cubic runs the width-generic scatter path: the binned/
+    # slot-major fast paths and the sharded step assume quadratic stencils.
+    transfer_kernel: str = "quadratic"
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -30,9 +30,39 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def bspline(x, dx):
-    """Per-particle base index, per-axis weights (3,), grads (3,)."""
+def bspline(x, dx, kernel="quadratic"):
+    """Per-particle base index, per-axis weights (S,), grads (S,);
+    S = 3 (quadratic) or 4 (cubic)."""
     xs = x / dx
+    if kernel == "cubic":
+        base = (np.floor(xs) - 1.0).astype(np.int64)
+        u = xs - base  # in [1, 2)
+
+        def outer_w(t):
+            a = np.abs(t)
+            return -(a ** 3) / 6.0 + a * a - 2.0 * a + 4.0 / 3.0
+
+        def inner_w(t):
+            a = np.abs(t)
+            return 0.5 * a ** 3 - t * t + 2.0 / 3.0
+
+        def outer_g(t):
+            a = np.abs(t)
+            return np.sign(t) * (-0.5 * a * a + 2.0 * a - 2.0)
+
+        def inner_g(t):
+            a = np.abs(t)
+            return np.sign(t) * (1.5 * a * a) - 2.0 * t
+
+        w = np.stack(
+            [outer_w(u), inner_w(u - 1.0), inner_w(u - 2.0), outer_w(u - 3.0)],
+            axis=-1,
+        )
+        g = np.stack(
+            [outer_g(u), inner_g(u - 1.0), inner_g(u - 2.0), outer_g(u - 3.0)],
+            axis=-1,
+        ) / dx
+        return base, w, g
     base = np.floor(xs - 0.5).astype(np.int64)
     u = xs - base
     w = np.stack(
@@ -129,6 +159,7 @@ class RefResult:
 def advance_one_step_ref(
     x, v, C, F, m, V0, mu, lam, *, dx, res, dt, gravity, floor_y,
     cn_eps=1e-2, cg_tol=1e-3, max_newton=10, max_cg=200, boundary_margin=2,
+    kernel="quadratic",
 ):
     """Mirrors hot_tpu.sim.simulation.advance_one_step for 2D fixed
     corotated + sticky floor halfspace. Returns RefResult with positions,
@@ -141,18 +172,21 @@ def advance_one_step_ref(
         return i * ny + j
 
     # ---- P2G
-    base, w, gw = bspline(x, dx)
+    base, w, gw = bspline(x, dx, kernel)
+    S = 4 if kernel == "cubic" else 3
+    SS = S * S
+    d_inv = (3.0 if kernel == "cubic" else 4.0) / (dx * dx)
     grid_m = np.zeros(n_nodes)
     grid_mv = np.zeros((n_nodes, 2))
-    stencils = []  # (ids(9,), wn(9,), gwn(9,2), rel(9,2)) per particle
+    stencils = []  # (ids(SS,), wn(SS,), gwn(SS,2), rel(SS,2)) per particle
     for p in range(n):
-        ids = np.empty(9, np.int64)
-        wn = np.empty(9)
-        gwn = np.empty((9, 2))
-        rel = np.empty((9, 2))
+        ids = np.empty(SS, np.int64)
+        wn = np.empty(SS)
+        gwn = np.empty((SS, 2))
+        rel = np.empty((SS, 2))
         k = 0
-        for a in range(3):
-            for b in range(3):
+        for a in range(S):
+            for b in range(S):
                 i = min(max(base[p, 0] + a, 0), nx - 1)
                 j = min(max(base[p, 1] + b, 0), ny - 1)
                 ids[k] = nid(i, j)
@@ -219,7 +253,7 @@ def advance_one_step_ref(
         for p in range(n):
             ids, _, gwn, _ = stencils[p]
             P = first_piola(Fn[p], mu[p], lam[p])
-            contrib = -V0[p] * (P @ F[p].T @ gwn.T).T  # (9,2)
+            contrib = -V0[p] * (P @ F[p].T @ gwn.T).T  # (SS,2)
             np.add.at(f, ids, contrib)
         r = grid_m[:, None] * (vg - v_star) - dt * f
         return project(r)
@@ -236,15 +270,15 @@ def advance_one_step_ref(
             K = dpdf_matrix(Fn[p], mu[p], lam[p], project=True)
             # G maps grid dofs (9*2) to vec(dF): dF = dt * (sum_i w_i gw_i^T) F
             # vec(dF)_ab = dt * sum_i w_i[a] (F^T gw_i)[b]
-            FtG = F[p].T @ gwn.T  # (2, 9)
-            G = np.zeros((4, 18))
-            for k in range(9):
+            FtG = F[p].T @ gwn.T  # (2, SS)
+            G = np.zeros((4, 2 * SS))
+            for k in range(SS):
                 for a_ in range(2):
                     for b_ in range(2):
                         G[2 * a_ + b_, 2 * k + a_] = dt * FtG[b_, k]
-            Kl = V0[p] * G.T @ K @ G  # (18, 18) local stiffness
-            for ki in range(9):
-                for kj in range(9):
+            Kl = V0[p] * G.T @ K @ G  # (2SS, 2SS) local stiffness
+            for ki in range(SS):
+                for kj in range(SS):
                     bi, bj = ids[ki], ids[kj]
                     H[2 * bi : 2 * bi + 2, 2 * bj : 2 * bj + 2] += Kl[
                         2 * ki : 2 * ki + 2, 2 * kj : 2 * kj + 2
@@ -319,7 +353,7 @@ def advance_one_step_ref(
         vi = v_new[ids]
         v_pic = (wn[:, None] * vi).sum(0)
         grad_v = vi.T @ gwn
-        C_out[p] = 4.0 / (dx * dx) * (wn[:, None] * vi).T @ rel
+        C_out[p] = d_inv * (wn[:, None] * vi).T @ rel
         F_out[p] = (np.eye(2) + dt * grad_v) @ F[p]
         v_out[p] = v_pic
         x_out[p] = x[p] + dt * v_pic

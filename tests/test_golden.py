@@ -92,3 +92,59 @@ def test_single_step_matches_dense_reference():
     np.testing.assert_allclose(np.asarray(new_state.x), ref.x, atol=1e-10)
     np.testing.assert_allclose(np.asarray(new_state.v), ref.v, atol=1e-8)
     np.testing.assert_allclose(np.asarray(new_state.F), ref.F, atol=1e-8)
+
+
+def test_single_step_cubic_matches_dense_reference():
+    """Same golden acceptance, CUBIC B-spline transfers (SURVEY.md #13's
+    4-wide kernel family): identical Newton/CG counts + positions vs the
+    independently generalized numpy reference."""
+    import dataclasses
+
+    res = 32
+    dt = 4e-3
+    scene = build_scene("block_drop_2d", res=res, dtype=jnp.float64)
+    scene["cfg"] = dataclasses.replace(
+        scene["cfg"],
+        transfer_kernel="cubic",
+        solver=dataclasses.replace(scene["cfg"].solver, preconditioner="jacobi"),
+    )
+    state = _impact_state(scene, dt)
+    cfg = scene["cfg"]
+
+    step = jax.jit(
+        functools.partial(
+            advance_one_step,
+            cfg=cfg,
+            model=scene["model"],
+            colliders=scene["colliders"],
+            plasticity=None,
+        )
+    )
+    new_state, stats = step(state, jnp.float64(dt), jnp.float64(0.0))
+
+    ref = advance_one_step_ref(
+        np.asarray(state.x),
+        np.asarray(state.v),
+        np.asarray(state.C),
+        np.asarray(state.F),
+        np.asarray(state.m),
+        np.asarray(state.V0),
+        np.asarray(state.mu),
+        np.asarray(state.lam),
+        dx=cfg.dx,
+        res=cfg.grid_res[:2],
+        dt=dt,
+        gravity=cfg.gravity[:2],
+        floor_y=0.15,
+        cn_eps=cfg.solver.cn_eps,
+        cg_tol=cfg.solver.cg_tol,
+        max_newton=cfg.solver.max_newton,
+        max_cg=cfg.solver.max_cg,
+        kernel="cubic",
+    )
+
+    assert int(stats.newton_iters) == ref.newton_iters
+    assert abs(int(stats.cg_iters) - sum(ref.cg_iters)) <= 1
+    np.testing.assert_allclose(np.asarray(new_state.x), ref.x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(new_state.v), ref.v, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(new_state.F), ref.F, atol=1e-8)

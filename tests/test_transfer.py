@@ -199,3 +199,59 @@ def test_bin_particles_valid_mask_excludes_pads(rng):
     bins2 = transfer.bin_particles(x_dense, dx, res, cells_cap=512, cap=8,
                                    valid=valid2)
     assert bool(bins2.overflow)
+
+
+def test_cubic_partition_of_unity_and_linear_reproduction(rng):
+    """Cubic B-splines (4-wide): sum w = 1, sum w x_i = x_p, sum gw = 0,
+    sum x_i gw^T = I — same identities the quadratic kernel satisfies."""
+    from hot_tpu.ops.bspline import cubic_bspline_weights
+
+    dx = 1.0 / 32
+    for dim in (2, 3):
+        x = rand_positions(rng, 100, dim, 32, dx)
+        base, w, dw = cubic_bspline_weights(x, dx)
+        wn, gwn = tensor_weights(w, dw)
+        offs = stencil_offsets(dim, 4)
+        node_pos = (base[:, None, :] + offs[None]).astype(x.dtype) * dx
+        np.testing.assert_allclose(wn.sum(1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(
+            jnp.einsum("pk,pki->pi", wn, node_pos), x, atol=1e-12
+        )
+        np.testing.assert_allclose(gwn.sum(1), 0.0, atol=1e-9)
+        eye = jnp.eye(dim)
+        np.testing.assert_allclose(
+            jnp.einsum("pki,pkj->pij", node_pos, gwn) - eye[None], 0.0,
+            atol=1e-9,
+        )
+
+
+def test_cubic_kernel_1d_values():
+    """At u=1 (particle on a node): cubic weights [1/6, 2/3, 1/6, 0]."""
+    from hot_tpu.ops.bspline import cubic_kernel_1d
+
+    w = cubic_kernel_1d(jnp.asarray(1.0))
+    np.testing.assert_allclose(
+        w, [1.0 / 6.0, 2.0 / 3.0, 1.0 / 6.0, 0.0], atol=1e-12
+    )
+
+
+def test_cubic_g2p_reproduces_affine_field(rng):
+    """Cubic G2P with D^-1 = 3/dx^2 recovers an affine grid velocity field
+    exactly (APIC consistency for the 4-wide kernel)."""
+    dim = 2
+    res = (32, 32)
+    dx = 1.0 / 32
+    x = rand_positions(rng, 80, dim, 32, dx)
+    st = transfer.particle_stencil(x, dx, res, kernel="cubic")
+    A = jnp.asarray(rng.standard_normal((dim, dim)))
+    b = jnp.asarray(rng.standard_normal((dim,)))
+    node_pos = transfer.node_positions(res, dx, x.dtype)
+    grid_v = node_pos @ A.T + b[None]
+    v_p, grad_v, C = transfer.g2p(st, grid_v, dx, d_inv_factor=3.0)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(x @ A.T + b), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(grad_v), np.broadcast_to(np.asarray(A), grad_v.shape), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(C), np.broadcast_to(np.asarray(A), C.shape), atol=1e-9
+    )
