@@ -79,13 +79,20 @@ def bin_particles(x, dx, res: Tuple[int, ...], cells_cap: int, cap: int,
     the dump slot: they consume no cell entry, no per-cell cap, and never
     trigger the overflow flag.
     """
-    n = x.shape[0]
     base, _, _ = quadratic_bspline_weights(x, dx)
     res_arr = jnp.asarray(res, jnp.int32)
     base = jnp.clip(base, 0, res_arr[None, :] - 1)
     strides = _row_major_strides(res)
     cell = jnp.sum(base * strides[None, :], axis=-1)
-    n_cells = n_nodes_of(res)
+    return bin_by_ids(cell, n_nodes_of(res), cells_cap, cap, valid=valid)
+
+
+def bin_by_ids(cell, n_cells: int, cells_cap: int, cap: int,
+               valid=None) -> CellBins:
+    """Core binning table from precomputed per-particle cell ids in
+    [0, n_cells) (n_cells acts as the invalid/dump sentinel) — shared by
+    the dense path above and the sparse tile path (ops.tile_transfer)."""
+    n = cell.shape[0]
     if valid is not None:
         # invalid particles get the out-of-range sentinel cell: it sorts
         # LAST, so real cells always win the unique() table slots

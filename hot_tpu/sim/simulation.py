@@ -126,6 +126,9 @@ def _advance_one_step_impl(
         n_tiles = jnp.zeros((), jnp.int32)
     # scatter implementation: binned (scatter-free, TPU) vs plain scatter-add
     use_binned = bin_caps is not None and cfg.grid_backend == "dense"
+    # sparse backend: tile-local binned transfers (ops.tile_transfer) — the
+    # scatter-free path without materializing the dense logical grid
+    use_tile_binned = bin_caps is not None and cfg.grid_backend == "sparse"
     # slot-major solve layout: only the matrix-free Newton path consumes it
     # (the explicit-BSR assembly and LBFGS baselines stay particle-ordered)
     # slot-major is opt-in: measured 26% SLOWER end-to-end at 64^3 than the
@@ -142,6 +145,15 @@ def _advance_one_step_impl(
         bins = transfer.bin_particles(state.x, dx, res, bin_caps[0], bin_caps[1])
         scatter = transfer.make_binned_scatter(bins, res)
         gather_st = transfer.make_binned_gather(bins, res)
+        bin_overflow = bins.overflow
+    elif use_tile_binned:
+        from hot_tpu.ops import bsr_tiled, tile_transfer
+
+        t_nbr = bsr_tiled.tile_neighbors(tgrid)
+        bins = tile_transfer.sparse_bins(state.x, dx, tgrid,
+                                         bin_caps[0], bin_caps[1])
+        scatter = tile_transfer.make_tile_scatter(bins, tgrid, t_nbr)
+        gather_st = tile_transfer.make_tile_gather(bins, tgrid, t_nbr)
         bin_overflow = bins.overflow
     else:
         scatter = transfer.default_scatter
@@ -538,9 +550,9 @@ class Simulation:
         impl = cfg.transfer_impl
         if impl == "auto":
             impl = "binned" if jax.default_backend() == "tpu" else "scatter"
-        if (impl != "binned" or cfg.grid_backend != "dense"
-                or cfg.transfer_kernel != "quadratic"):
-            # binned fast path assumes 3-wide quadratic windows
+        if impl != "binned" or cfg.transfer_kernel != "quadratic":
+            # binned fast paths assume 3-wide quadratic windows (the sparse
+            # backend routes to ops.tile_transfer, same bins shape)
             return None
         import numpy as np
 
