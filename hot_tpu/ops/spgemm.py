@@ -58,12 +58,19 @@ def rap_half_out(half_in: int) -> int:
 
 
 def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
-        coarse_capacity: int, mem_budget: int = 1 << 28) -> bsr_mod.BsrMatrix:
+        coarse_capacity: int, mem_budget: int = 1 << 28,
+        fine_origin=None, coarse_origin=None) -> bsr_mod.BsrMatrix:
     """A_c = P^T A P with node-embedding prolongation, any stencil half.
 
     Chunked over the fine-stencil and embedding axes so no intermediate
     exceeds ~mem_budget bytes (the full (R, Kf, 3^d, d, d) products reach
     several GB at fine levels).
+
+    fine_origin / coarse_origin: optional (dim,) integer GLOBAL coords of
+    the local grids' node (0,...,0) — used by the sharded MG, where A is a
+    device's partial operator over its extended slab and the embedding
+    relation g_coarse = embed(g_fine) holds in GLOBAL coordinates
+    (g = local + origin). None = both grids are global (origins zero).
     """
     dim = A.dim
     h = A.half
@@ -72,6 +79,10 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
     dd = dim * dim
     n_nodes_f = transfer.n_nodes_of(A.res)
     res_c = jnp.asarray(coarse_res, jnp.int32)
+    f_org = (jnp.zeros((dim,), jnp.int32) if fine_origin is None
+             else jnp.asarray(fine_origin, jnp.int32))
+    c_org = (jnp.zeros((dim,), jnp.int32) if coarse_origin is None
+             else jnp.asarray(coarse_origin, jnp.int32))
 
     coords = transfer.unravel(jnp.minimum(A.node_of, n_nodes_f - 1), A.res)
     valid_row = A.node_of < n_nodes_f
@@ -85,7 +96,10 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
     wm = (h + 1) // 2                                 # window margin
     W1d = 2 * wm + 3
     KW = W1d**dim
-    base_j, w_j = embedding_weights(coords, dtype)    # embeds of row node j
+    # embeds of row node j: embedding runs in GLOBAL coords, results are
+    # shifted back to the local coarse frame
+    base_j, w_j = embedding_weights(coords + f_org[None, :], dtype)
+    base_j = base_j - c_org[None, :]
     win_base = base_j - wm
 
     R_rows = A.n_rows
@@ -97,8 +111,10 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         k1 = min(k0 + kfc, Kf)
         ncoords = coords[:, None, :] + offs_f[None, k0:k1, :]   # (R, kc, dim)
         base_i, w_i = jax.vmap(
-            lambda c: embedding_weights(c, dtype), in_axes=1, out_axes=1
+            lambda c: embedding_weights(c + f_org[None, :], dtype),
+            in_axes=1, out_axes=1,
         )(ncoords)                                              # (R, kc, ...)
+        base_i = base_i - c_org[None, None, :]
         widx_coord = (
             base_i[:, :, None, :] + emb_offs[None, None, :, :]
             - win_base[:, None, None, :]

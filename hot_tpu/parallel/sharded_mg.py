@@ -59,6 +59,16 @@ class SMGLevel(NamedTuple):
     mat_sym: object = None
     nbr: object = None
     bins: object = None     # CellBins of local particles in the ext slab
+    # halo width of this level's extended slab (static). 2 for quadrature
+    # levels; 3 for Galerkin coarse levels — the embedding of a fine halo
+    # row reaches ceil((H_f+1)/2)+2 - planes... concretely one plane beyond
+    # a 2-halo, and a 3-halo is the fixed point of the recursion.
+    halo: int = HALO
+    # unfolded mass scatter over the EXTENDED slab (level 0, assembled
+    # mode): lets build_precond put inertia INSIDE the partial operator so
+    # Galerkin coarse ops inherit P^T M P (sum over devices is exact by
+    # particle additivity)
+    ext_mass: object = None
 
 
 class SMGStatic(NamedTuple):
@@ -92,7 +102,7 @@ def _rest_strides(res):
     return strides[::-1]
 
 
-def _local_stencil(x, dev, dx_l, res_l, planes_l, dtype):
+def _local_stencil(x, dev, dx_l, res_l, planes_l, dtype, halo: int = HALO):
     """Particle stencil with ids into this device's EXTENDED slab at level
     spacing dx_l (mirrors sharded_step's finest-level stencil)."""
     dim = x.shape[-1]
@@ -104,12 +114,12 @@ def _local_stencil(x, dev, dx_l, res_l, planes_l, dtype):
     offs = stencil_offsets(dim)
     res_arr = jnp.asarray(res_l, jnp.int32)
     coords = jnp.clip(base[:, None, :] + offs[None], 0, res_arr - 1)
-    lplane = coords[..., 0] - dev * planes_l + HALO
+    lplane = coords[..., 0] - dev * planes_l + halo
     rest = jnp.zeros(coords.shape[:-1], jnp.int32)
     strides = _rest_strides(res_l)
     for k in range(dim - 1):
         rest = rest + coords[..., k + 1] * strides[k]
-    lids = jnp.clip(lplane, 0, planes_l + 2 * HALO - 1) * plane_nodes + rest
+    lids = jnp.clip(lplane, 0, planes_l + 2 * halo - 1) * plane_nodes + rest
     gids = coords[..., 0] * plane_nodes + rest               # GLOBAL flat ids
     rel = coords.astype(dtype) * dx_l - x[:, None, :]
     return (transfer.Stencil(node_ids=lids, wn=wn, gwn=gwn, rel=rel),
@@ -120,19 +130,20 @@ def make_level_ops(level: SMGLevel, axis: str, D: int):
     """(scatter, gather_st) closures with halo fold/exchange for this level
     — drop-ins for obj_mod.elastic_hessian_apply / elastic_block_diag."""
     planes, plane_nodes = level.planes, level.plane_nodes
-    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    halo = level.halo
+    ext_nodes = (planes + 2 * halo) * plane_nodes
     local_nodes = planes * plane_nodes
 
     def scatter(st, values, _n_nodes):
         ext = transfer.scatter_sum(st.node_ids, values, ext_nodes)
-        extp = ext.reshape((planes + 2 * HALO, plane_nodes) + ext.shape[1:])
-        return fold_halo(extp, axis, D, HALO).reshape(
+        extp = ext.reshape((planes + 2 * halo, plane_nodes) + ext.shape[1:])
+        return fold_halo(extp, axis, D, halo).reshape(
             (local_nodes,) + ext.shape[1:]
         )
 
     def gather_st(st, v_local):
         vp = v_local.reshape((planes, plane_nodes) + v_local.shape[1:])
-        ext = exchange_halo(vp, axis, D, HALO)
+        ext = exchange_halo(vp, axis, D, halo)
         return ext.reshape((ext_nodes,) + v_local.shape[1:])[st.node_ids]
 
     return scatter, gather_st
@@ -140,7 +151,7 @@ def make_level_ops(level: SMGLevel, axis: str, D: int):
 
 def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
                  axis: str, D: int, dtype, mg_tile_caps=None,
-                 mg_bin_caps=None) -> SMGStatic:
+                 mg_bin_caps=None, galerkin: bool = False) -> SMGStatic:
     """Per-step hierarchy from this device's (padded) local particles.
 
     constrained0: (local_nodes_0,) bool — finest-level Dirichlet mask.
@@ -154,6 +165,14 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
     mg_bin_caps: per-level (cells_cap, cap) CellBins capacities for the
     scatter-free binned assembly (None entries fall back to the colliding-
     scatter assembly — fine on CPU meshes, slow on TPU).
+
+    galerkin (assembled mode): coarse operators will come from the
+    structured SpGEMM RAP of the finest partial (build_precond), so coarse
+    levels get NO tile grid/bins and a WIDER (3-plane) halo — the
+    embedding of a fine halo row reaches one plane beyond a 2-halo, and 3
+    is the fixed point of the recursion. Level 0 additionally records its
+    UNFOLDED extended-slab mass so inertia can live INSIDE the partial
+    operator (P^T M P then distributes over devices exactly).
     """
     if mg_tile_caps is not None:
         from hot_tpu.grid import sparse as sparse_mod
@@ -169,24 +188,25 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
     cur_dx = dx
     cons = constrained0
     for l in range(n_levels):
+        halo_l = 3 if (galerkin and l > 0) else HALO
         planes_l = cur_res[0] // D
-        assert cur_res[0] % D == 0 and planes_l >= HALO, (
+        assert cur_res[0] % D == 0 and planes_l >= halo_l, (
             f"level {l}: res_x={cur_res[0]} not slab-divisible over {D} "
-            f"devices with halo {HALO}; lower cfg.solver.multigrid.levels"
+            f"devices with halo {halo_l}; lower cfg.solver.multigrid.levels"
         )
         st, gids, plane_nodes = _local_stencil(
-            ps_x, dev, cur_dx, cur_res, planes_l, dtype
+            ps_x, dev, cur_dx, cur_res, planes_l, dtype, halo=halo_l
         )
-        tg_l = mat_l = nbr_l = bins_l = None
-        if mg_tile_caps is not None:
+        tg_l = mat_l = nbr_l = bins_l = ext_mass_l = None
+        if mg_tile_caps is not None and not (galerkin and l > 0):
             # local frame: shift x so the extended slab starts at plane 0
             # (an integer-cell shift — B-spline weights are unchanged, and
             # the shifted base coords match st's extended-slab ids)
             shift = jnp.zeros((len(cur_res),), dtype).at[0].set(
-                (dev * planes_l - HALO) * cur_dx
+                (dev * planes_l - halo_l) * cur_dx
             )
             x_local = ps_x - shift[None, :]
-            res_ext = (planes_l + 2 * HALO,) + tuple(cur_res[1:])
+            res_ext = (planes_l + 2 * halo_l,) + tuple(cur_res[1:])
             tg_l = sparse_mod.build_tile_grid(
                 x_local, cur_dx, res_ext, int(mg_tile_caps[l])
             )
@@ -200,10 +220,16 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
                     valid=real,
                 )
                 overflow = jnp.logical_or(overflow, bins_l.overflow)
+            if galerkin and l == 0:
+                ext_nodes_l = (planes_l + 2 * halo_l) * plane_nodes
+                ext_mass_l = transfer.scatter_sum(
+                    st.node_ids, st.wn * ps_m[:, None], ext_nodes_l
+                )
         lvl = SMGLevel(st=st, gids=gids, grid_m=None, active=None, free=None,
                        planes=planes_l, plane_nodes=plane_nodes,
                        res=cur_res, dx=cur_dx, tgrid=tg_l, mat_sym=mat_l,
-                       nbr=nbr_l, bins=bins_l)
+                       nbr=nbr_l, bins=bins_l, halo=halo_l,
+                       ext_mass=ext_mass_l)
         scatter, _ = make_level_ops(lvl, axis, D)
         grid_m = scatter(st, st.wn * ps_m[:, None], 0)
         active = grid_m > 0
@@ -216,16 +242,17 @@ def build_static(ps_x, ps_m, dev, res, dx, n_levels: int, constrained0,
         nxt_res = mg_mod.coarse_res(cur_res)
         nxt_dx = cur_dx * 2.0
         planes_n = nxt_res[0] // D
+        halo_n = 3 if galerkin else HALO
         node_pos = _owned_positions(dev, planes_l, cur_res, cur_dx, dtype)
         embed, _, pn_n = _local_stencil(node_pos, dev, nxt_dx, nxt_res,
-                                        planes_n, dtype)
+                                        planes_n, dtype, halo=halo_n)
         # inactive fine nodes must not pollute coarse sums
         embed = embed._replace(wn=jnp.where(active[:, None], embed.wn, 0.0))
         embeds.append(embed)
         # propagate the constraint mask (same rule as single-device MG)
         nxt_lvl = SMGLevel(st=None, gids=None, grid_m=None, active=None,
                            free=None, planes=planes_n, plane_nodes=pn_n,
-                           res=nxt_res, dx=nxt_dx)
+                           res=nxt_res, dx=nxt_dx, halo=halo_n)
         c_scatter, _ = make_level_ops(nxt_lvl, axis, D)
         w_total = c_scatter(embed, embed.wn, 0)
         w_cons = c_scatter(
@@ -271,17 +298,25 @@ def _bapply(B, v):
     return jnp.einsum("nij,nj->ni", B, v)
 
 
-def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int):
+def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int,
+             mass_outside: bool = True):
     """A w on OWNED dense level vectors. Assembled levels (mat != None) run
-    exchange -> local supertile SpMV on the extended slab -> fold; the local
-    matrix is this device's PARTIAL ELASTIC operator K_d (halo rows hold
-    partial sums that fold ships to their owners — the same adjoint pair the
-    matrix-free scatter/gather uses, so the distributed operator is
-    identical; equality is tested). The inertia diagonal M is applied
-    OUTSIDE the matrices, from the (already halo-folded, complete) owned
-    grid masses: a node supported only by the NEIGHBOR device's particles
-    has no tile in this device's local grid, so putting mass inside A_d
-    would silently drop it."""
+    exchange -> local SpMV on the extended slab -> fold; the local matrix
+    is this device's PARTIAL operator A_d (halo rows hold partial sums that
+    fold ships to their owners — the same adjoint pair the matrix-free
+    scatter/gather uses, so the distributed operator is identical; equality
+    is tested). The SpMV is the supertile kernel for half=2 tile-row
+    quadrature matrices, the generic gather SpMV for Galerkin RAP outputs
+    (7/9-wide flat-row structure).
+
+    mass_outside=True (quadrature partials, dt^2 K_d only): the inertia
+    diagonal M is applied from the (halo-folded, complete) owned grid
+    masses — a node supported only by the NEIGHBOR device's particles has
+    no tile in this device's local grid, so putting mass inside A_d would
+    silently drop it. Galerkin mode instead assembles mass INTO the level-0
+    partial from the UNFOLDED extended-slab mass (particle additivity makes
+    sum_d exact) so coarse RAP operators inherit P^T M P; those callers
+    pass mass_outside=False."""
     if mat is None:
         def mul(w):
             return level_multiply(level, F, ctx, V0, dt, w, axis, D)
@@ -289,61 +324,103 @@ def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int):
         return mul
 
     from hot_tpu.ops import bsr as bsr_mod
-    from hot_tpu.ops import bsr_tiled
 
     planes, plane_nodes = level.planes, level.plane_nodes
-    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    halo = level.halo
+    ext_nodes = (planes + 2 * halo) * plane_nodes
     d = F.shape[-1]
+
+    if mat.half == 2 and level.tgrid is not None:
+        from hot_tpu.ops import bsr_tiled
+
+        rows_mul = lambda r: bsr_tiled.spmv_tiled(mat, level.tgrid,
+                                                  level.nbr, r)
+    else:
+        rows_mul = lambda r: bsr_mod.spmv(mat, r)
 
     def mul(w):
         vp = w.reshape(planes, plane_nodes, d)
-        ext = exchange_halo(vp, axis, D, HALO).reshape(ext_nodes, d)
+        ext = exchange_halo(vp, axis, D, halo).reshape(ext_nodes, d)
         w_rows = bsr_mod.grid_vector_to_rows(mat, ext)
-        y_rows = bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w_rows)
+        y_rows = rows_mul(w_rows)
         y_ext = bsr_mod.rows_to_grid_vector(mat, y_rows, ext_nodes)
         y = fold_halo(
-            y_ext.reshape(planes + 2 * HALO, plane_nodes, d), axis, D, HALO
+            y_ext.reshape(planes + 2 * halo, plane_nodes, d), axis, D, halo
         ).reshape(planes * plane_nodes, d)
-        y = y + level.grid_m[:, None] * w
+        if mass_outside:
+            y = y + level.grid_m[:, None] * w
         return jnp.where(level.active[:, None], y, w)
 
     return mul
 
 
-def _assemble_level(level: SMGLevel, F, ctx, V0, dt):
-    """This device's partial ELASTIC BSR operator over the extended slab
-    (dt^2 K_d only; inertia is applied outside — see make_mul)."""
+def _assemble_level(level: SMGLevel, F, ctx, V0, dt, mass=None):
+    """This device's partial BSR operator over the extended slab.
+
+    mass=None: dt^2 K_d only (inertia applied outside — see make_mul).
+    mass=array: UNFOLDED extended-slab mass added on the diagonal, making
+    the partial sum_d A_d = M + dt^2 K exact (galerkin mode)."""
     from hot_tpu.ops import bsr as bsr_mod
 
-    no_mass = jnp.zeros(
-        ((level.planes + 2 * HALO) * level.plane_nodes,), F.dtype
-    )
+    if mass is None:
+        mass = jnp.zeros(
+            ((level.planes + 2 * level.halo) * level.plane_nodes,), F.dtype
+        )
     if level.bins is not None:
         return bsr_mod.assemble_hessian_modes(
-            level.mat_sym, level.bins, level.st, F, ctx, V0, dt, no_mass
+            level.mat_sym, level.bins, level.st, F, ctx, V0, dt, mass
         )
     return bsr_mod.assemble_hessian(
-        level.mat_sym, level.st, F, ctx, V0, dt, no_mass
+        level.mat_sym, level.st, F, ctx, V0, dt, mass
     )
 
 
-def _diag_from_mat(level: SMGLevel, mat, dim: int, axis: str, D: int):
-    """Full (d, d) diagonal blocks on owned nodes: fold the partial elastic
-    center blocks of K_d (neighbors' halo partials add in) + inertia."""
+def _diag_from_mat(level: SMGLevel, mat, dim: int, axis: str, D: int,
+                   mass_outside: bool = True):
+    """Full (d, d) diagonal blocks on owned nodes: fold the partial center
+    blocks (neighbors' halo partials add in) + inertia (unless the partial
+    already carries it — galerkin mode)."""
     from hot_tpu.ops import bsr as bsr_mod
 
     planes, plane_nodes = level.planes, level.plane_nodes
-    ext_nodes = (planes + 2 * HALO) * plane_nodes
+    halo = level.halo
+    ext_nodes = (planes + 2 * halo) * plane_nodes
     center = (mat.K - 1) // 2
     cb = mat.vals[:, center].reshape(mat.n_rows, dim * dim)
     cb_ext = bsr_mod.rows_to_grid_vector(mat, cb, ext_nodes)
     Dm = fold_halo(
-        cb_ext.reshape(planes + 2 * HALO, plane_nodes, dim * dim),
-        axis, D, HALO,
+        cb_ext.reshape(planes + 2 * halo, plane_nodes, dim * dim),
+        axis, D, halo,
     ).reshape(planes * plane_nodes, dim, dim)
     eye = jnp.eye(dim, dtype=Dm.dtype)
-    Dm = Dm + level.grid_m[:, None, None] * eye[None]
+    if mass_outside:
+        Dm = Dm + level.grid_m[:, None, None] * eye[None]
     return jnp.where(level.free[:, None, None], Dm, eye[None])
+
+
+def _rap_level(prev_level: SMGLevel, prev_mat, level: SMGLevel, dev,
+               dim: int):
+    """Galerkin coarse partial A_c,d = P^T A_d P over the local extended
+    slabs, via the structured SpGEMM with global-frame origins (the
+    embedding relation holds in GLOBAL coordinates). Rows cover the whole
+    coarse extended slab (static; coarse levels are small) — with a 3-plane
+    coarse halo every nonzero partial (row, col) pair is representable, so
+    sum_d A_c,d == P^T (sum_d A_d) P exactly."""
+    from hot_tpu.ops import spgemm
+
+    res_ext_c = (level.planes + 2 * level.halo,) + tuple(level.res[1:])
+    n_ext_c = 1
+    for r in res_ext_c:
+        n_ext_c *= int(r)
+    f_org = jnp.zeros((dim,), jnp.int32).at[0].set(
+        dev * prev_level.planes - prev_level.halo
+    )
+    c_org = jnp.zeros((dim,), jnp.int32).at[0].set(
+        dev * level.planes - level.halo
+    )
+    active_all = jnp.ones((n_ext_c,), bool)
+    return spgemm.rap(prev_mat, res_ext_c, active_all, n_ext_c,
+                      fine_origin=f_org, coarse_origin=c_org)
 
 
 def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
@@ -351,16 +428,31 @@ def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
     """Per-Newton smoother data; lambda_max power iterations psum across the
     mesh so every device holds the identical bound. Assembled levels also
     build this device's partial BSR here — once per Newton iteration,
-    amortized over every smoother/residual SpMV."""
+    amortized over every smoother/residual SpMV. cfg.coarsening='galerkin'
+    derives coarse partials by local RAP of the level-0 partial (VERDICT r1
+    #5: the rediscretized hierarchy can amplify residuals under
+    deformation; the Galerkin one is correction-consistent)."""
     diag_inv = []
     lmax = []
     mats = []
     any_assembled = any(lv.mat_sym is not None for lv in smg.levels)
+    galerkin = cfg.coarsening == "galerkin" and any_assembled
+    mass_outside = not galerkin
+    dev = jax.lax.axis_index(axis)
+    prev_mat = None
+    prev_level = None
     for l, level in enumerate(smg.levels):
-        if level.mat_sym is not None:
-            mat = _assemble_level(level, F, ctx, V0, dt)
+        if galerkin and l > 0:
+            mat = _rap_level(prev_level, prev_mat, level, dev, dim)
             mats.append(mat)
-            Db = _diag_from_mat(level, mat, dim, axis, D)
+            Db = _diag_from_mat(level, mat, dim, axis, D,
+                                mass_outside=mass_outside)
+        elif level.mat_sym is not None:
+            mat = _assemble_level(level, F, ctx, V0, dt,
+                                  mass=level.ext_mass if galerkin else None)
+            mats.append(mat)
+            Db = _diag_from_mat(level, mat, dim, axis, D,
+                                mass_outside=mass_outside)
         else:
             mat = None
             mats.append(None)
@@ -375,15 +467,22 @@ def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
             l < len(smg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
         if need:
-            mul = make_mul(level, mat, F, ctx, V0, dt, axis, D)
+            mul = make_mul(level, mat, F, ctx, V0, dt, axis, D,
+                           mass_outside=mass_outside or mat is None)
             lam = _power_lmax(level, mul, Dinv, cfg.power_iters, axis)
         else:
             lam = jnp.ones((), F.dtype)
         lmax.append(lam)
+        prev_mat = mat
+        prev_level = level
     chol = None
     if cfg.coarse_solver == "direct":
-        chol = _coarse_dense_factor(smg.levels[-1], F, ctx, V0, dt, dim,
-                                    axis, D)
+        if galerkin and mats[-1] is not None:
+            chol = _coarse_factor_from_mat(smg.levels[-1], mats[-1], dim,
+                                           axis, dev)
+        else:
+            chol = _coarse_dense_factor(smg.levels[-1], F, ctx, V0, dt, dim,
+                                        axis, D)
     return SMGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                       coarse_chol=chol,
                       mats=tuple(mats) if any_assembled else ())
@@ -473,6 +572,64 @@ def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D):
     return c
 
 
+def _coarse_factor_from_mat(level: SMGLevel, mat, dim: int, axis: str,
+                            dev):
+    """Galerkin agglomerated coarsest factor: densify this device's partial
+    RAP operator at GLOBAL coarse node ids, psum across the mesh, project
+    BCs, factor replicated. mat carries inertia inside (galerkin mode), so
+    no mass term is added here."""
+    from hot_tpu.ops import bsr as bsr_mod
+
+    res = level.res
+    n_nodes = transfer.n_nodes_of(res)
+    planes, plane_nodes, halo = level.planes, level.plane_nodes, level.halo
+    ne = (planes + 2 * halo) * plane_nodes
+    res_ext = (planes + 2 * halo,) + tuple(res[1:])
+    node_of = mat.node_of
+    coords_l = transfer.unravel(jnp.minimum(node_of, ne - 1), res_ext)
+    origin = jnp.zeros((dim,), jnp.int32).at[0].set(dev * planes - halo)
+    coords_g = coords_l + origin[None, :]
+    res_arr = jnp.asarray(res, jnp.int32)
+    valid_r = (node_of < ne) & jnp.all(
+        (coords_g >= 0) & (coords_g < res_arr[None, :]), axis=-1
+    )
+    strides_py = []
+    acc = 1
+    for r in reversed(res):
+        strides_py.append(acc)
+        acc *= int(r)
+    strides = jnp.asarray(strides_py[::-1], jnp.int32)
+    g_row = jnp.sum(jnp.clip(coords_g, 0, res_arr - 1) * strides[None, :],
+                    axis=-1)
+    offs = bsr_mod._offsets(dim, mat.half)
+    ncoords = coords_g[:, None, :] + offs[None, :, :]
+    ok_c = jnp.all((ncoords >= 0) & (ncoords < res_arr[None, None, :]),
+                   axis=-1)
+    g_col = jnp.sum(jnp.clip(ncoords, 0, res_arr - 1) * strides[None, None, :],
+                    axis=-1)
+    ok = valid_r[:, None] & ok_c & (mat.col_row >= 0)
+    dd = dim * dim
+    flat = jnp.where(ok, g_row[:, None] * n_nodes + g_col, n_nodes * n_nodes)
+    vals = jnp.where(ok[:, :, None], mat.vals.reshape(-1, mat.K, dd), 0.0)
+    A = jnp.zeros((n_nodes * n_nodes + 1, dd), vals.dtype)
+    A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dd),
+                                   unique_indices=True)[:-1]
+    A = A.reshape(n_nodes, n_nodes, dim, dim)
+    A = jax.lax.psum(A, axis)                               # agglomerate
+    free = jax.lax.all_gather(
+        level.free.reshape(level.planes, level.plane_nodes), axis, tiled=True
+    ).reshape(-1)
+    okf = free[:, None] & free[None, :]
+    A = jnp.where(okf[:, :, None, None], A, 0.0)
+    A = A.transpose(0, 2, 1, 3).reshape(n_nodes * dim, n_nodes * dim)
+    diag_fix = jnp.repeat(~free, dim).astype(A.dtype)
+    A = A + jnp.diag(diag_fix)
+    eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
+    A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
+    c, _ = jax.scipy.linalg.cho_factor(A)
+    return c
+
+
 def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
     """all_gather the coarse rhs, replicated solve, slice the owned planes."""
     d = b_local.shape[-1]
@@ -526,10 +683,15 @@ def prolong(smg: SMGStatic, l: int, e_coarse, axis: str, D: int):
     return jnp.sum(embed.wn[:, :, None] * ec, axis=1)
 
 
+def _mass_outside(pre: SMGPrecond, cfg: MultigridConfig) -> bool:
+    return not (bool(pre.mats) and cfg.coarsening == "galerkin")
+
+
 def v_cycle(smg: SMGStatic, pre: SMGPrecond, F, ctx, V0, dt,
             cfg: MultigridConfig, b, axis: str, D: int, l: int = 0):
     level = smg.levels[l]
-    mul = make_mul(level, _mat_of(pre, l), F, ctx, V0, dt, axis, D)
+    mul = make_mul(level, _mat_of(pre, l), F, ctx, V0, dt, axis, D,
+                   mass_outside=_mass_outside(pre, cfg))
     x = jnp.zeros_like(b)
     if l == len(smg.levels) - 1:
         if cfg.coarse_solver == "direct":
@@ -565,7 +727,7 @@ def mg_precondition(smg: SMGStatic, pre: SMGPrecond, F, V0, dt,
     z = v_cycle(smg, pre, F, ctx, V0, dt, cfg, r, axis, D)
     for _ in range(cfg.cycles - 1):
         mul0 = make_mul(smg.levels[0], _mat_of(pre, 0), F, ctx, V0, dt,
-                        axis, D)
+                        axis, D, mass_outside=_mass_outside(pre, cfg))
         res = r - mul0(z)
         z = z + v_cycle(smg, pre, F, ctx, V0, dt, cfg,
                         level_project(smg.levels[0], res), axis, D)

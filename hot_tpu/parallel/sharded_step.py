@@ -301,6 +301,8 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
                 ps.x, ps.m, dev, res, dx, sol.multigrid.levels, constrained,
                 axis, D, dtype, mg_tile_caps=mg_tile_caps,
                 mg_bin_caps=mg_bin_caps,
+                galerkin=(sol.multigrid.assembled
+                          and sol.multigrid.coarsening == "galerkin"),
             )
             if smg.overflow is not None:
                 # replicate across the mesh so the stats out-spec holds

@@ -35,7 +35,9 @@ def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
     from hot_tpu.utils.config import MultigridConfig
 
     if pallas_apply is not None:
-        base = dataclasses.replace(base, pallas_apply=pallas_apply)
+        # --no-pallas disables BOTH fused kernels (apply + linearize)
+        base = dataclasses.replace(base, pallas_apply=pallas_apply,
+                                   pallas_linearize=pallas_apply)
     exp = variant.endswith("_exp")    # explicit outer BSR (supertile SpMV)
     if variant.startswith("jacobi"):
         return dataclasses.replace(base, preconditioner="block_jacobi",

@@ -95,9 +95,13 @@ def test_sharded_step_multigrid_matches(coarse_solver, assembled):
     import dataclasses
 
     scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    # quadrature coarsening: the assembled operator == the matrix-free one,
+    # so the single-device MATRIX-FREE reference matches exactly (the
+    # galerkin default has a different — better — coarse correction and is
+    # pinned against single-device galerkin in its own test below)
     mgc = dataclasses.replace(
         scene["cfg"].solver.multigrid, levels=2, coarse_solver=coarse_solver,
-        assembled=assembled,
+        assembled=assembled, coarsening="quadrature",
     )
     sol = dataclasses.replace(
         scene["cfg"].solver, preconditioner="multigrid", multigrid=mgc
@@ -149,7 +153,7 @@ def test_sharded_mg_binned_assembly_and_overflow_flag():
     scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
     mgc = dataclasses.replace(
         scene["cfg"].solver.multigrid, levels=2, coarse_solver="direct",
-        assembled=True,
+        assembled=True, coarsening="quadrature",
     )
     sol = dataclasses.replace(
         scene["cfg"].solver, preconditioner="multigrid", multigrid=mgc
@@ -193,3 +197,47 @@ def test_sharded_mg_binned_assembly_and_overflow_flag():
     )
     _, stats_bad = step_bad(scene["state"], jnp.float64(5e-3), jnp.float64(0.0))
     assert bool(stats_bad.grid_overflow)
+
+
+def test_sharded_galerkin_mg_matches_single_device():
+    """Galerkin-coarsened sharded MG (per-device RAP of the level-0 partial,
+    3-plane coarse halos, mass inside the partials, agglomerated Galerkin
+    coarse factor) == the single-device galerkin assembled MG: identical
+    Newton/CG counts and trajectories (VERDICT r1 #5)."""
+    import dataclasses
+
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    mgc = dataclasses.replace(
+        scene["cfg"].solver.multigrid, levels=2, coarse_solver="direct",
+        assembled=True, coarsening="galerkin",
+    )
+    sol = dataclasses.replace(
+        scene["cfg"].solver, preconditioner="multigrid", multigrid=mgc
+    )
+    cfg = dataclasses.replace(scene["cfg"], solver=sol)
+
+    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    n_steps = 58
+    for _ in range(n_steps):
+        sim.step(5e-3)
+    ref = jax.tree_util.tree_map(np.asarray, sim.state)
+    ref_cg = sum(r["cg_iters"] for r in sim.metrics.records)
+    ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
+    assert ref_newton > 0
+
+    mesh = make_mesh((4,), ("x",))
+    step = make_sharded_step(
+        mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
+    )
+    state = scene["state"]
+    tot_newton = tot_cg = 0
+    t = 0.0
+    for _ in range(n_steps):
+        state, stats = step(state, jnp.float64(5e-3), jnp.float64(t))
+        tot_newton += int(stats.newton_iters)
+        tot_cg += int(stats.cg_iters)
+        t += 5e-3
+    assert tot_newton == ref_newton, (tot_newton, ref_newton)
+    assert abs(tot_cg - ref_cg) <= 2, (tot_cg, ref_cg)
+    np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), ref.v, atol=1e-8)
