@@ -152,6 +152,45 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
     assembly of assembled MG levels (cfg.solver.multigrid.assembled); None
     uses the colliding-scatter assembly.
     """
+    physics = _make_local_physics(mesh, cfg, model, colliders, plasticity,
+                                  axis, mg_bin_caps)
+    D = mesh.shape[axis]
+    res = cfg.grid_res[:cfg.dim]
+    dx = cfg.dx
+
+    def local_step(blocks, dt, t):
+        ps: ParticleState = jax.tree_util.tree_map(lambda a: a[0], blocks)
+        out, stats = physics(ps, dt, t)
+        out = jax.tree_util.tree_map(lambda a: a[None], out)
+        return out, stats
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P()),
+    )
+
+    @jax.jit
+    def step(state: ParticleState, dt, t):
+        with jax.default_matmul_precision("highest"):
+            blocks, slot_of, overflow = _partition_state(state, dx, res, D, n_max)
+            new_blocks, stats = sharded(blocks, dt, t)
+            new_state = _unpartition(new_blocks, slot_of)
+            stats = stats._replace(partition_overflow=overflow)
+            return new_state, stats
+
+    return step
+
+
+def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
+                        colliders: Sequence[collision.Collider],
+                        plasticity=None, axis: str = "x", mg_bin_caps=None):
+    """The per-device step physics (P2G -> BC -> Newton -> G2P -> advect)
+    as a closure over static scene config; runs INSIDE shard_map on this
+    device's padded local particles. Shared by the globally-repartitioning
+    step (make_sharded_step) and the neighbor-migrating step
+    (make_migrating_step)."""
     D = mesh.shape[axis]
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -168,8 +207,7 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
     dx = cfg.dx
     sol = cfg.solver
 
-    def local_step(blocks, dt, t):
-        ps: ParticleState = jax.tree_util.tree_map(lambda a: a[0], blocks)
+    def physics(ps: ParticleState, dt, t):
         dev = jax.lax.axis_index(axis)
         dtype = ps.x.dtype
         gravity = jnp.asarray(cfg.gravity[:dim], dtype)
@@ -373,7 +411,6 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
         v_out = jnp.where(is_pad[:, None], 0.0, v_pic)
 
         out = ps.replace(x=x_new, v=v_out, C=C_new, F=F_new)
-        out = jax.tree_util.tree_map(lambda a: a[None], out)
         stats = ShardedStepStats(
             newton_iters=result.iters,
             cg_iters=result.cg_iters,
@@ -384,6 +421,206 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
         )
         return out, stats
 
+    return physics
+
+
+# ---------------------------------------------------------------------------
+# neighbor-local particle migration (VERDICT r1 #9)
+# ---------------------------------------------------------------------------
+#
+# The globally-repartitioning step above materializes one argsort + full
+# gather over ALL particles per step — correct, but a non-starter at 10M
+# particles x multi-host. Under CFL stepping a particle moves < 1 cell per
+# step, so between steps it can only cross into the IMMEDIATELY adjacent
+# slab (planes >= 2 per device). The migrating step keeps the (D, n_max)
+# block layout persistent across steps and exchanges only the particles
+# that crossed a slab boundary: two fixed-capacity ppermute buffers per
+# step, no global collective over particles anywhere. A per-particle id
+# array rides along so callers can reconstruct a stable ordering for IO.
+
+
+class MigratingStepStats(NamedTuple):
+    newton_iters: jax.Array
+    cg_iters: jax.Array
+    cn_residual: jax.Array
+    converged: jax.Array
+    # any device's send buffer (migrate_cap) or free-slot pool overflowed,
+    # or a particle crossed >1 slab in one step — the caller must fall back
+    # to one global repartition and retry
+    migrate_overflow: jax.Array
+    grid_overflow: object = None
+
+
+def _pad_template(ps: ParticleState, pad_x, dim):
+    """Field values a freed slot takes (mass 0 => exact no-op)."""
+    eye = jnp.eye(dim, dtype=ps.F.dtype)
+    return dict(
+        x=pad_x, v=jnp.zeros((dim,), ps.v.dtype), C=jnp.zeros((dim, dim), ps.C.dtype),
+        F=eye, m=jnp.zeros((), ps.m.dtype), V0=jnp.zeros((), ps.V0.dtype),
+        mu=jnp.zeros((), ps.mu.dtype), lam=jnp.zeros((), ps.lam.dtype),
+        yield_stress=jnp.full((), jnp.inf, ps.yield_stress.dtype),
+        Jp=jnp.ones((), ps.Jp.dtype),
+    )
+
+
+def _migrate(ps: ParticleState, ids, dev, planes, dx, res, D, M, axis):
+    """Exchange boundary-crossing particles with slab neighbors.
+
+    ps/ids: this device's (n_max,) local particles after advection.
+    M: static migration capacity per direction. Returns (ps, ids, overflow).
+    """
+    n_max = ps.m.shape[0]
+    dim = ps.dim
+    is_pad = ps.m <= 0
+    base = jnp.clip(
+        jnp.floor(ps.x[:, 0] / dx - 0.5).astype(jnp.int32), 0, res[0] - 1
+    )
+    dest = jnp.clip(base // planes, 0, D - 1)
+    shift = jnp.where(is_pad, 0, dest - dev)
+    far = jnp.abs(shift) > 1            # CFL guarantees this never happens;
+                                        # flagged -> host global repartition
+    send_l = shift == -1
+    send_r = shift == 1
+    overflow = (
+        jnp.any(far)
+        | (jnp.sum(send_l) > M)
+        | (jnp.sum(send_r) > M)
+    )
+
+    idx_l = jnp.nonzero(send_l, size=M, fill_value=n_max)[0]
+    idx_r = jnp.nonzero(send_r, size=M, fill_value=n_max)[0]
+
+    # pack: fields + ids, one pad row appended (picked by fill slots)
+    pad_x = jnp.concatenate(
+        [((dev.astype(ps.x.dtype) + 0.5) * planes * dx)[None],
+         jnp.full((dim - 1,), 0.5 * res[1] * dx, ps.x.dtype)]
+    )
+    pad = _pad_template(ps, pad_x, dim)
+
+    def pack(a, field, idx):
+        ap = jnp.concatenate([a, jnp.asarray(pad[field], a.dtype)[None]], 0)
+        return ap[idx]
+
+    fields = ("x", "v", "C", "F", "m", "V0", "mu", "lam", "yield_stress", "Jp")
+    buf_l = ParticleState(**{f: pack(getattr(ps, f), f, idx_l) for f in fields})
+    buf_r = ParticleState(**{f: pack(getattr(ps, f), f, idx_r) for f in fields})
+    ids_pad = jnp.concatenate([ids, jnp.full((1,), -1, ids.dtype)])
+    ids_l = ids_pad[idx_l]
+    ids_r = ids_pad[idx_r]
+
+    # neighbor exchange (edge devices receive empty buffers)
+    from hot_tpu.parallel.halo import _shift as ppshift
+
+    recv_from_r = ppshift((buf_l, ids_l), axis, -1, D)   # right nbr's left-bound
+    recv_from_l = ppshift((buf_r, ids_r), axis, +1, D)   # left nbr's right-bound
+    arr = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0),
+        recv_from_l[0], recv_from_r[0],
+    )
+    arr_ids = jnp.concatenate([recv_from_l[1], recv_from_r[1]])
+    arr_valid = arr.m > 0
+
+    # departed slots become pads
+    departed = send_l | send_r
+
+    def clear(a, field):
+        pv = jnp.asarray(pad[field], a.dtype)
+        shape = (n_max,) + pv.shape
+        return jnp.where(
+            departed.reshape((n_max,) + (1,) * pv.ndim), 
+            jnp.broadcast_to(pv[None], shape), a,
+        )
+
+    ps = ParticleState(**{f: clear(getattr(ps, f), f) for f in fields})
+    ids = jnp.where(departed, -1, ids)
+
+    # place arrivals into free slots
+    free = is_pad | departed
+    overflow = overflow | (jnp.sum(arr_valid) > jnp.sum(free))
+    free_idx = jnp.nonzero(free, size=2 * M, fill_value=n_max)[0]
+    pos = jnp.cumsum(arr_valid) - 1
+    target = jnp.where(
+        arr_valid, free_idx[jnp.clip(pos, 0, 2 * M - 1)], n_max
+    )
+
+    def place(a, v):
+        ap = jnp.concatenate([a, a[:1]], axis=0)       # discard row
+        return ap.at[target].set(v)[:n_max]
+
+    ps = jax.tree_util.tree_map(place, ps, arr)
+    ids = place(ids, arr_ids)
+    return ps, ids, overflow
+
+
+def make_migrating_step(mesh: Mesh, cfg: SimConfig, model,
+                        colliders: Sequence[collision.Collider], n_max: int,
+                        migrate_cap: int, plasticity=None, axis: str = "x",
+                        mg_bin_caps=None):
+    """Jitted persistent-layout step: (blocks, ids, dt, t) ->
+    (blocks, ids, stats). blocks stay (D, n_max)-partitioned across steps;
+    only boundary-crossing particles move, via two ppermute buffers of
+    static capacity `migrate_cap`. No argsort / all-gather over particles
+    anywhere in the compiled program (asserted in tests)."""
+    physics = _make_local_physics(mesh, cfg, model, colliders, plasticity,
+                                  axis, mg_bin_caps)
+    D = mesh.shape[axis]
+    res = cfg.grid_res[:cfg.dim]
+    planes = res[0] // D
+    dx = cfg.dx
+
+    def local_step(blocks, ids, dt, t):
+        ps: ParticleState = jax.tree_util.tree_map(lambda a: a[0], blocks)
+        ids0 = ids[0]
+        dev = jax.lax.axis_index(axis)
+        out, stats = physics(ps, dt, t)
+        out, ids1, mig_overflow = _migrate(
+            out, ids0, dev, planes, dx, res, D, migrate_cap, axis
+        )
+        mig_overflow = jax.lax.psum(mig_overflow.astype(jnp.int32), axis) > 0
+        go = stats.grid_overflow
+        mstats = MigratingStepStats(
+            newton_iters=stats.newton_iters,
+            cg_iters=stats.cg_iters,
+            cn_residual=stats.cn_residual,
+            converged=stats.converged,
+            migrate_overflow=mig_overflow,
+            grid_overflow=go,
+        )
+        out = jax.tree_util.tree_map(lambda a: a[None], out)
+        return out, ids1[None], mstats
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P()),
+    )
+
+    @jax.jit
+    def step(blocks, ids, dt, t):
+        with jax.default_matmul_precision("highest"):
+            return sharded(blocks, ids, dt, t)
+
+    return step
+
+
+def make_plain_block_step(mesh: Mesh, cfg: SimConfig, model,
+                          colliders, plasticity=None, axis: str = "x",
+                          mg_bin_caps=None):
+    """Physics-only block step (no migration): outputs keep particles in
+    their old slots, possibly off-slab — the caller must globally
+    repartition before the next step. Used as the migrating step's
+    overflow fallback (a capacity overflow means >migrate_cap particles
+    crossed in ONE step; only a global repartition of the OUTPUT can place
+    them all)."""
+    physics = _make_local_physics(mesh, cfg, model, colliders, plasticity,
+                                  axis, mg_bin_caps)
+
+    def local_step(blocks, dt, t):
+        ps: ParticleState = jax.tree_util.tree_map(lambda a: a[0], blocks)
+        out, stats = physics(ps, dt, t)
+        return jax.tree_util.tree_map(lambda a: a[None], out), stats
+
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -392,12 +629,128 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, model,
     )
 
     @jax.jit
-    def step(state: ParticleState, dt, t):
+    def step(blocks, dt, t):
         with jax.default_matmul_precision("highest"):
-            blocks, slot_of, overflow = _partition_state(state, dx, res, D, n_max)
-            new_blocks, stats = sharded(blocks, dt, t)
-            new_state = _unpartition(new_blocks, slot_of)
-            stats = stats._replace(partition_overflow=overflow)
-            return new_state, stats
+            return sharded(blocks, dt, t)
 
     return step
+
+
+def partition_with_ids(state: ParticleState, cfg: SimConfig, D: int,
+                       n_max: int):
+    """Initial (or fallback) global partition: (blocks, ids) for the
+    migrating step. ids[d, j] = original particle index, -1 for pads."""
+    res = cfg.grid_res[:cfg.dim]
+    blocks, slot_of, overflow = _partition_state(state, cfg.dx, res, D, n_max)
+    ids = jnp.full((D * n_max + 1,), -1, jnp.int32)
+    ids = ids.at[slot_of].set(jnp.arange(state.n, dtype=jnp.int32))
+    return blocks, ids[:-1].reshape(D, n_max), overflow
+
+
+def gather_with_ids(blocks: ParticleState, ids, n: int) -> ParticleState:
+    """Blocks -> flat state in ORIGINAL particle order (for IO/comparison)."""
+    flat_ids = ids.reshape(-1)
+    valid = flat_ids >= 0
+    # invalid (pad) entries write into a trailing drop row, not slot 0
+    slot_of_id = jnp.zeros((n + 1,), jnp.int32)
+    slot_of_id = slot_of_id.at[jnp.where(valid, flat_ids, n)].set(
+        jnp.arange(flat_ids.shape[0], dtype=jnp.int32)
+    )[:n]
+
+    def pick(a):
+        return a.reshape((-1,) + a.shape[2:])[slot_of_id]
+
+    return jax.tree_util.tree_map(pick, blocks)
+
+
+class ShardedSimulation:
+    """Host driver for the migrating sharded step (the distributed analog
+    of sim.Simulation): holds the persistent (D, n_max) block layout, runs
+    the neighbor-local migration step, and falls back to ONE global
+    repartition + retry when a migration capacity overflows (same
+    static-capacity policy as the single-device regrow path)."""
+
+    def __init__(self, mesh: Mesh, cfg: SimConfig, state: ParticleState,
+                 model, colliders, n_max: int = None, migrate_cap: int = None,
+                 plasticity=None, axis: str = "x", mg_bin_caps=None):
+        import numpy as np
+
+        self.mesh = mesh
+        self.cfg = cfg
+        self.axis = axis
+        D = mesh.shape[axis]
+        self.D = D
+        self.n = state.n
+        res = cfg.grid_res[:cfg.dim]
+        planes = res[0] // D
+        if n_max is None:
+            # worst slab occupancy of the initial layout + headroom
+            base = np.clip(
+                np.floor(np.asarray(state.x[:, 0]) / cfg.dx - 0.5).astype(int),
+                0, res[0] - 1,
+            )
+            counts = np.bincount(np.clip(base // planes, 0, D - 1),
+                                 minlength=D)
+            n_max = int(1.5 * counts.max()) + 64
+        if migrate_cap is None:
+            migrate_cap = max(64, n_max // 8)
+        self.n_max = n_max
+        self.migrate_cap = migrate_cap
+        self._step = make_migrating_step(
+            mesh, cfg, model, colliders, n_max, migrate_cap,
+            plasticity=plasticity, axis=axis, mg_bin_caps=mg_bin_caps,
+        )
+        self._model = model
+        self._colliders = colliders
+        self._plasticity = plasticity
+        self._mg_bin_caps = mg_bin_caps
+        self._plain = None   # fallback step, built on first overflow
+        self.blocks, self.ids, of = partition_with_ids(state, cfg, D, n_max)
+        if bool(of):
+            raise ValueError(
+                f"n_max={n_max} too small for the initial particle layout"
+            )
+        self.t = 0.0
+        self.repartitions = 0
+
+    def step(self, dt: float) -> MigratingStepStats:
+        t = jnp.asarray(self.t, self.blocks.x.dtype)
+        dt = jnp.asarray(dt, self.blocks.x.dtype)
+        blocks, ids, stats = self._step(self.blocks, self.ids, dt, t)
+        if bool(stats.migrate_overflow):
+            # >migrate_cap particles crossed a slab boundary this step (or a
+            # free-slot pool filled): the migrated output dropped particles,
+            # so discard it, redo the step WITHOUT migration from the saved
+            # pre-step layout, and globally repartition the result
+            if self._plain is None:
+                self._plain = make_plain_block_step(
+                    self.mesh, self.cfg, self._model, self._colliders,
+                    plasticity=self._plasticity, axis=self.axis,
+                    mg_bin_caps=self._mg_bin_caps,
+                )
+            out_blocks, pstats = self._plain(self.blocks, dt, t)
+            state = gather_with_ids(out_blocks, self.ids, self.n)
+            blocks, ids, of = partition_with_ids(
+                state, self.cfg, self.D, self.n_max
+            )
+            if bool(of):
+                raise RuntimeError(
+                    f"slab occupancy exceeded n_max={self.n_max}; raise n_max"
+                )
+            self.repartitions += 1
+            stats = MigratingStepStats(
+                newton_iters=pstats.newton_iters,
+                cg_iters=pstats.cg_iters,
+                cn_residual=pstats.cn_residual,
+                converged=pstats.converged,
+                migrate_overflow=jnp.zeros((), bool),
+                grid_overflow=pstats.grid_overflow,
+            )
+        self.blocks, self.ids = blocks, ids
+        self.t += float(dt)
+        return stats
+
+    @property
+    def state(self) -> ParticleState:
+        """Flat particle state in ORIGINAL particle order (IO/comparison)."""
+        return gather_with_ids(self.blocks, self.ids, self.n)

@@ -45,6 +45,7 @@ def main():
                          coarse_solver="direct", assembled=True)
     sol = dataclasses.replace(cfg.solver, preconditioner="multigrid",
                               multigrid=mg, pallas_apply=False,
+                              pallas_linearize=False,
                               max_newton=args.max_newton, max_cg=args.max_cg)
     cfg = dataclasses.replace(cfg, solver=sol)
     dt = jnp.asarray(2e-3, state.x.dtype)

@@ -241,3 +241,92 @@ def test_sharded_galerkin_mg_matches_single_device():
     assert abs(tot_cg - ref_cg) <= 2, (tot_cg, ref_cg)
     np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9)
     np.testing.assert_allclose(np.asarray(state.v), ref.v, atol=1e-8)
+
+
+def test_migrating_step_matches_single_device():
+    """Neighbor-local migration (VERDICT r1 #9): particles translated in +x
+    cross slab boundaries over many steps; the persistent-layout migrating
+    step reproduces the single-device trajectory exactly, with zero global
+    repartitions, and its compiled HLO contains NO sort and NO all-gather
+    over particles."""
+    import dataclasses
+
+    from hot_tpu.parallel.sharded_step import (
+        ShardedSimulation, make_migrating_step, partition_with_ids,
+    )
+
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    # horizontal drift so particles cross x-slabs (the partition axis)
+    state = scene["state"].replace(
+        v=scene["state"].v + jnp.asarray([0.35, 0.0])[None, :]
+    )
+    cfg = scene["cfg"]
+
+    # single-device reference
+    sim = Simulation(cfg, state, scene["model"], scene["colliders"])
+    n_steps = 72
+    for _ in range(n_steps):
+        sim.step(4e-3)
+    ref = jax.tree_util.tree_map(np.asarray, sim.state)
+    ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
+    assert ref_newton > 0
+
+    mesh = make_mesh((4,), ("x",))
+    ssim = ShardedSimulation(
+        mesh, cfg, state, scene["model"], scene["colliders"],
+        n_max=state.n, migrate_cap=state.n // 2,
+    )
+    tot_newton = 0
+    for _ in range(n_steps):
+        stats = ssim.step(4e-3)
+        assert bool(stats.converged)
+        tot_newton += int(stats.newton_iters)
+    assert ssim.repartitions == 0
+    assert tot_newton == ref_newton, (tot_newton, ref_newton)
+    out = jax.tree_util.tree_map(np.asarray, ssim.state)
+    np.testing.assert_allclose(out.x, ref.x, atol=1e-9)
+    np.testing.assert_allclose(out.v, ref.v, atol=1e-8)
+    np.testing.assert_allclose(out.F, ref.F, atol=1e-8)
+
+    # every particle id is still present exactly once
+    ids = np.asarray(ssim.ids).reshape(-1)
+    ids = ids[ids >= 0]
+    assert len(ids) == state.n and len(np.unique(ids)) == state.n
+
+    # HLO audit: no argsort / particle all-gather inside the compiled step
+    step = make_migrating_step(
+        mesh, cfg, scene["model"], scene["colliders"], n_max=state.n,
+        migrate_cap=64,
+    )
+    blocks, ids0, _ = partition_with_ids(state, cfg, 4, state.n)
+    txt = jax.jit(step).lower(
+        blocks, ids0, jnp.float64(4e-3), jnp.float64(0.0)
+    ).as_text()
+    # the only admissible sorts are tiny per-particle lane sorts (the SVD
+    # orders 2 singular values along dimension 1); a global particle
+    # repartition would sort along dimension 0
+    import re
+
+    for m in re.finditer(r'stablehlo\.sort[^{]*dimension = (\d+)', txt):
+        assert m.group(1) != "0", "global dim-0 sort leaked into the step"
+    assert "all_gather" not in txt and "all-gather" not in txt, (
+        "all-gather leaked into the step"
+    )
+
+
+def test_migrating_step_overflow_fallback():
+    """An undersized migrate_cap flips the overflow flag and the host
+    wrapper recovers via one global repartition."""
+    from hot_tpu.parallel.sharded_step import ShardedSimulation
+
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    state = scene["state"].replace(
+        v=scene["state"].v + jnp.asarray([0.6, 0.0])[None, :]
+    )
+    ssim = ShardedSimulation(
+        make_mesh((4,), ("x",)), scene["cfg"], state, scene["model"],
+        scene["colliders"], n_max=state.n, migrate_cap=1,
+    )
+    for _ in range(40):
+        ssim.step(4e-3)
+    assert ssim.repartitions > 0
