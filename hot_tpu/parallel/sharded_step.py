@@ -289,12 +289,40 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
             r = grid_m[:, None] * (v_local - v_star) - dt * f
             return project_r(r), ctx
 
-        def multiply(ctx, w_local):
-            dF = dt * (grad_of(w_local) @ ps.F)
+        def _contrib_chain(ctx, ext_flat):
+            """Per-particle Hessian-apply contributions from an extended-
+            slab vector; LINEAR in ext_flat (ctx fixed)."""
+            vi = ext_flat[st.node_ids]
+            grad = jnp.einsum("pki,pkj->pij", vi, st.gwn)
+            dF = dt * (grad @ ps.F)
             dP = jax.vmap(cm.apply_hessian)(ctx, dF)
             dPFt = dP @ jnp.swapaxes(ps.F, -1, -2)
-            contrib = -jnp.einsum("p,pij,pkj->pki", ps.V0, dPFt, st.gwn)
-            df = scatter_fold(contrib)
+            return -jnp.einsum("p,pij,pkj->pki", ps.V0, dPFt, st.gwn)
+
+        def multiply(ctx, w_local):
+            if sol.overlap_halo:
+                # linearity split (SURVEY.md §5.8 overlap design): the
+                # local-data chain has NO dependency on the ppermute, so
+                # XLA's latency-hiding scheduler overlaps the exchange with
+                # it; the ghost chain contributes only near slab boundaries
+                from hot_tpu.parallel.halo import _shift
+
+                vp = w_local.reshape(planes, plane_nodes, dim)
+                zeros_h = jnp.zeros((HALO, plane_nodes, dim), w_local.dtype)
+                ext0 = jnp.concatenate([zeros_h, vp, zeros_h], axis=0)
+                ghost_lo = _shift(vp[-HALO:], axis, +1, D)
+                ghost_hi = _shift(vp[:HALO], axis, -1, D)
+                gext = jnp.concatenate(
+                    [ghost_lo, jnp.zeros_like(vp), ghost_hi], axis=0
+                )
+                contrib = (
+                    _contrib_chain(ctx, ext0.reshape(ext_nodes, dim))
+                    + _contrib_chain(ctx, gext.reshape(ext_nodes, dim))
+                )
+                df = scatter_fold(contrib)
+            else:
+                contrib = _contrib_chain(ctx, gather_ext(w_local))
+                df = scatter_fold(contrib)
             out = grid_m[:, None] * w_local - dt * df
             return jnp.where(active[:, None], out, w_local)
 

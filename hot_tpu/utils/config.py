@@ -117,6 +117,15 @@ class SolverConfig:
     dt_retries: int = 3
     project_hessian: bool = True    # SPD projection of per-particle dP/dF
     multigrid: MultigridConfig = field(default_factory=MultigridConfig)
+    # Distributed CG: overlap the halo exchange with interior compute in the
+    # matrix-free Hessian apply (SURVEY.md §5.8 "double-buffer halos"). The
+    # apply is linear in the grid vector, so it splits into a local-data
+    # chain (no communication dependency — XLA's latency-hiding scheduler
+    # runs the ppermute underneath it) + a ghost-only chain whose per-
+    # particle work is nonzero only near slab boundaries. Costs a second
+    # (mostly-zero) particle sweep; wins when ICI/DCN latency dominates.
+    # Exactly equal to the unoverlapped apply (tested).
+    overlap_halo: bool = False
 
 
 @dataclass(frozen=True)

@@ -330,3 +330,31 @@ def test_migrating_step_overflow_fallback():
     for _ in range(40):
         ssim.step(4e-3)
     assert ssim.repartitions > 0
+
+
+def test_overlap_halo_matches():
+    """overlap_halo=True (linearity-split halo overlap) == the plain
+    exchange: identical trajectories and iteration counts."""
+    import dataclasses
+
+    scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+    cfg = scene["cfg"]
+    mesh = make_mesh((4,), ("x",))
+    results = {}
+    for ov in (False, True):
+        c = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, overlap_halo=ov)
+        )
+        step = make_sharded_step(
+            mesh, c, scene["model"], scene["colliders"], n_max=scene["state"].n
+        )
+        state = scene["state"]
+        tot = 0
+        t = 0.0
+        for _ in range(60):
+            state, stats = step(state, jnp.float64(4e-3), jnp.float64(t))
+            tot += int(stats.cg_iters)
+            t += 4e-3
+        results[ov] = (np.asarray(state.x), tot)
+    assert results[True][1] == results[False][1]
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-11)
