@@ -357,22 +357,15 @@ def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
     return jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)
 
 
-def assemble_hessian_modes(
-    mat: BsrMatrix, bins, stencil: transfer.Stencil, F_n, ctx, V0, dt, grid_m,
-) -> BsrMatrix:
-    """Scatter-free BSR assembly via the rank-1 mode factorization: per-cell
-    block sums are ONE batched MXU matmul B = (lam Z)^T Z over the cell's
-    (slot, mode) rows; then the same per-j-offset unique scatters as
-    assemble_hessian_binned. Equivalent to assemble_hessian — tested."""
-    import numpy as _np
-
-    dim = mat.dim
-    assert mat.half == 2
-    K = mat.K
+def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
+                     dim: int):
+    """Per-active-cell stencil block sums via the rank-1 mode factorization:
+    (cells_cap, s_j, s_i, d, d) — the shared compute core of the mode
+    assemblies (dense `assemble_hessian_modes` and the tile-compacted
+    variant in ops.bsr_tiled). One packed slot-order gather + ONE batched
+    MXU matmul B = (lam Z)^T Z per cell."""
     s = stencil.wn.shape[1]
     n = stencil.wn.shape[0]
-    n_nodes = transfer.n_nodes_of(mat.res)
-    n_rows = mat.n_rows
     cells_cap, cap = bins.p_cell.shape
     sd = s * dim
 
@@ -391,7 +384,43 @@ def assemble_hessian_modes(
 
     # per-cell block sums: (x, jb, ia) = sum_q lamZ[x, q, jb] Z[x, q, ia]
     B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
-    blocks = B.reshape(cells_cap, s, dim, s, dim).transpose(0, 1, 3, 2, 4)
+    return B.reshape(cells_cap, s, dim, s, dim).transpose(0, 1, 3, 2, 4)
+
+
+def stencil_offset_table(dim: int, s: int):
+    """Static (s, s) table of 5-wide offset ids (column slot of stencil
+    node i relative to node j) + per-j flat dense-node offsets."""
+    import numpy as _np
+
+    rng3 = _np.arange(3)
+    offs = _np.stack(
+        _np.meshgrid(*([rng3] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    rel = offs[None, :, :] - offs[:, None, :] + 2
+    off_id = _np.zeros((s, s), _np.int64)
+    for a in range(dim):
+        off_id = off_id * 5 + rel[:, :, a]
+    return offs, off_id
+
+
+def assemble_hessian_modes(
+    mat: BsrMatrix, bins, stencil: transfer.Stencil, F_n, ctx, V0, dt, grid_m,
+) -> BsrMatrix:
+    """Scatter-free BSR assembly via the rank-1 mode factorization: per-cell
+    block sums are ONE batched MXU matmul B = (lam Z)^T Z over the cell's
+    (slot, mode) rows; then the same per-j-offset unique scatters as
+    assemble_hessian_binned. Equivalent to assemble_hessian — tested."""
+    import numpy as _np
+
+    dim = mat.dim
+    assert mat.half == 2
+    K = mat.K
+    s = stencil.wn.shape[1]
+    n_nodes = transfer.n_nodes_of(mat.res)
+    n_rows = mat.n_rows
+    cells_cap, cap = bins.p_cell.shape
+
+    blocks = cell_mode_blocks(bins, stencil, F_n, ctx, V0, dt, dim)
 
     # static offset-id table (identical to assemble_hessian_binned)
     rng3 = _np.arange(3)

@@ -36,12 +36,14 @@ from hot_tpu.ops import bsr as bsr_mod
 from hot_tpu.ops import transfer
 
 
-def structure_tiled(tgrid: sparse_mod.TileGrid) -> bsr_mod.BsrMatrix:
+def structure_tiled(tgrid: sparse_mod.TileGrid, half: int = 2) -> bsr_mod.BsrMatrix:
     """Symbolic BSR structure with rows in tile-compacted order.
 
     Row r = tile_slot * tile_nodes + local_id covers the node at that slot
     (invalid slots / out-of-domain rows are fully masked). col_row holds the
-    TILE-COMPACTED row index of each geometric neighbor.
+    TILE-COMPACTED row index of each geometric neighbor. half=2 is the
+    quadrature operator (supertile SpMV eligible); wider halves hold
+    Galerkin RAP coarse operators (generic gather SpMV).
     """
     res = tgrid.res
     dim = tgrid.dim
@@ -70,18 +72,18 @@ def structure_tiled(tgrid: sparse_mod.TileGrid) -> bsr_mod.BsrMatrix:
         jnp.where(valid, rows, -1)
     )[:n_nodes]
 
-    # neighbor columns at the 5^dim geometric offsets
-    offs = bsr_mod._offsets(dim, 2)                          # (K, dim)
+    # neighbor columns at the (2*half+1)^dim geometric offsets
+    offs = bsr_mod._offsets(dim, half)                       # (K, dim)
     res_arr = jnp.asarray(res, jnp.int32)
     ncoords = coords[:, None, :] + offs[None, :, :]
     in_dom = jnp.all((ncoords >= 0) & (ncoords < res_arr[None, None, :]), axis=-1)
     nids = jnp.sum(jnp.clip(ncoords, 0, res_arr - 1) * strides[None, None, :], axis=-1)
     col_row = jnp.where(in_dom & valid[:, None], row_of[nids], -1)
-    K = 5**dim
+    K = (2 * half + 1) ** dim
     vals = jnp.zeros((capacity, K, dim, dim))
     return bsr_mod.BsrMatrix(
         vals=vals, col_row=col_row, node_of=node_of, row_of=row_of,
-        res=tuple(res), half=2,
+        res=tuple(res), half=half,
     )
 
 
@@ -181,6 +183,82 @@ def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
     vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
     y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
     return y.reshape(T * tn, d)
+
+
+def compact_node_coords(tgrid: sparse_mod.TileGrid, cids):
+    """Compacted node ids (...,) -> integer grid coords (..., dim).
+
+    Inverse of sparse.compact_node_id for ids < dump; ids at/over capacity
+    are clamped into the last valid slot (callers mask separately).
+    """
+    dim = tgrid.dim
+    tile = tgrid.tile
+    tn = tgrid.tile_nodes
+    slot = jnp.clip(cids // tn, 0, tgrid.capacity - 1)
+    lid = jnp.clip(cids - slot * tn, 0, tn - 1)
+    tid = jnp.minimum(tgrid.tile_ids[slot], tgrid.n_tiles_logical - 1)
+    strides = sparse_mod._tile_strides(tgrid.tile_res)
+    tcs = []
+    rem = tid
+    for k in range(dim):
+        c = rem // strides[k]
+        rem = rem - c * strides[k]
+        tcs.append(c)
+    tcoord = jnp.stack(tcs, axis=-1)
+    lcs = []
+    rem = lid
+    for k in range(dim):
+        d_ = tile ** (dim - 1 - k)
+        c = rem // d_
+        rem = rem - c * d_
+        lcs.append(c)
+    lcoord = jnp.stack(lcs, axis=-1)
+    return tcoord * tile + lcoord
+
+
+def assemble_hessian_modes_tiled(
+    mat: bsr_mod.BsrMatrix, bins, tgrid: sparse_mod.TileGrid,
+    stencil, F_n, ctx, V0, dt, grid_m,
+) -> bsr_mod.BsrMatrix:
+    """Mode assembly into a TILE-COMPACTED structure (structure_tiled):
+    identical per-cell block math to bsr.assemble_hessian_modes, but the
+    per-j-offset scatter rows come from compact ids (row index == compacted
+    node id) instead of the dense row_of table. bins must be
+    tile_transfer.sparse_bins of the SAME tgrid (active_cells in compacted
+    space); grid_m is the compacted node-mass array (n_cnodes incl. dump).
+    Equivalent to assemble_hessian on compacted stencils — tested."""
+    dim = mat.dim
+    assert mat.half == 2
+    K = mat.K
+    s = stencil.wn.shape[1]
+    n_rows = mat.n_rows
+    cells_cap, _cap = bins.p_cell.shape
+    assert n_rows == tgrid.dump, "mat must be structure_tiled of tgrid"
+
+    blocks = bsr_mod.cell_mode_blocks(bins, stencil, F_n, ctx, V0, dt, dim)
+
+    offs, off_id = bsr_mod.stencil_offset_table(dim, s)
+    valid_cell = bins.active_cells < tgrid.dump
+    coords = compact_node_coords(tgrid, bins.active_cells)      # (cells, dim)
+    vals = jnp.zeros((n_rows + cells_cap, K, dim * dim), blocks.dtype)
+    dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
+    for j in range(s):
+        cj = coords + jnp.asarray(offs[j], jnp.int32)[None, :]
+        r_j = sparse_mod.compact_node_id(tgrid, cj)             # dump if inactive
+        r_j = jnp.where(valid_cell & (r_j < tgrid.dump), r_j, dump_rows)
+        cols_j = jnp.asarray(off_id[j], jnp.int32)
+        vals = vals.at[r_j[:, None], cols_j[None, :]].add(
+            blocks[:, j].reshape(cells_cap, s, dim * dim),
+            unique_indices=True,
+        )
+    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
+
+    # inertia at the center offset: compacted rows align with grid_m[:-1]
+    center = (K - 1) // 2
+    eye = jnp.eye(dim, dtype=vals.dtype)
+    vals = vals.at[:, center].add(grid_m[:-1, None, None] * eye[None])
+    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
+    return mat._replace(vals=vals)
 
 
 # ---------------------------------------------------------------------------

@@ -59,7 +59,8 @@ def rap_half_out(half_in: int) -> int:
 
 def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         coarse_capacity: int, mem_budget: int = 1 << 28,
-        fine_origin=None, coarse_origin=None) -> bsr_mod.BsrMatrix:
+        fine_origin=None, coarse_origin=None,
+        coarse_tgrid=None) -> bsr_mod.BsrMatrix:
     """A_c = P^T A P with node-embedding prolongation, any stencil half.
 
     Chunked over the fine-stencil and embedding axes so no intermediate
@@ -71,6 +72,14 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
     device's partial operator over its extended slab and the embedding
     relation g_coarse = embed(g_fine) holds in GLOBAL coordinates
     (g = local + origin). None = both grids are global (origins zero).
+
+    coarse_tgrid: when given (a grid.sparse.TileGrid at coarse spacing),
+    the output structure is TILE-COMPACTED (ops.bsr_tiled.structure_tiled
+    at the widened half): coarse row index == compacted coarse node id,
+    coarse_active/coarse_capacity are ignored, and entries landing outside
+    active coarse tiles are dropped (subspace Galerkin — the restriction
+    drops the same rows, so the V-cycle correction stays consistent).
+    The fine A works either way (only node_of/coords are consumed).
     """
     dim = A.dim
     h = A.half
@@ -135,22 +144,30 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
 
     # ---- step 2: A_c = P^T W (scatter into the coarse stencil) -----------
     h_c = rap_half_out(h)
-    A_c = bsr_mod.structure(coarse_active, coarse_res, coarse_capacity,
-                            half=h_c)
-    Kc = A_c.K
-
-    strides_c = []
-    s = 1
-    for r in reversed(coarse_res):
-        strides_c.append(s)
-        s *= int(r)
-    strides_c = jnp.asarray(strides_c[::-1], jnp.int32)
-
     Jc_coord = base_j[:, None, :] + emb_offs[None, :, :]        # (R, 3^d, dim)
     Jc_ok = jnp.all((Jc_coord >= 0) & (Jc_coord < res_c[None, None, :]), axis=-1)
-    Jc_node = jnp.sum(jnp.clip(Jc_coord, 0, res_c - 1)
-                      * strides_c[None, None, :], axis=-1)
-    Jc_row = jnp.where(Jc_ok, A_c.row_of[Jc_node], -1)          # (R, 3^d)
+    if coarse_tgrid is not None:
+        from hot_tpu.grid import sparse as sparse_mod
+        from hot_tpu.ops import bsr_tiled
+
+        A_c = bsr_tiled.structure_tiled(coarse_tgrid, half=h_c)
+        cid = sparse_mod.compact_node_id(
+            coarse_tgrid, jnp.clip(Jc_coord, 0, res_c - 1)
+        )
+        Jc_row = jnp.where(Jc_ok & (cid < coarse_tgrid.dump), cid, -1)
+    else:
+        A_c = bsr_mod.structure(coarse_active, coarse_res, coarse_capacity,
+                                half=h_c)
+        strides_c = []
+        s = 1
+        for r in reversed(coarse_res):
+            strides_c.append(s)
+            s *= int(r)
+        strides_c = jnp.asarray(strides_c[::-1], jnp.int32)
+        Jc_node = jnp.sum(jnp.clip(Jc_coord, 0, res_c - 1)
+                          * strides_c[None, None, :], axis=-1)
+        Jc_row = jnp.where(Jc_ok, A_c.row_of[Jc_node], -1)      # (R, 3^d)
+    Kc = A_c.K
 
     offs_w = bsr_mod._offsets(dim, wm + 1)                      # window offsets
     out = jnp.zeros((A_c.n_rows * Kc + 1, dd), dtype)

@@ -331,10 +331,12 @@ def _advance_one_step_impl(
         mg_static = mg_mod.build_static(
             state.x, state.m, res, dx, sol.multigrid.levels, constrained, dtype,
             tile_capacity=(cfg.tile_capacity if cfg.grid_backend == "sparse" else 0),
-            bin_caps=(bin_caps if use_binned else None),
-            mg_tile_caps=(mg_tile_caps if cfg.grid_backend == "dense" else None),
-            mg_bin_caps=(mg_bin_caps if cfg.grid_backend == "dense" else None),
+            bin_caps=(bin_caps if (use_binned or use_tile_binned) else None),
+            mg_tile_caps=mg_tile_caps,
+            mg_bin_caps=mg_bin_caps,
             kernel=cfg.transfer_kernel,
+            dense_switch=sol.multigrid.sparse_dense_switch,
+            assembled_from=sol.multigrid.assembled_from_level,
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
@@ -586,11 +588,12 @@ class Simulation:
         return len(np.unique(np.concatenate(tids)))
 
     def _choose_mg_tile_caps(self, grow: float = 1.0) -> Optional[Tuple[int, ...]]:
-        """Per-MG-level static tile capacities for assembled levels."""
+        """Per-MG-level static tile capacities for assembled levels
+        (both backends; sparse compact levels also size their own tile
+        grids from these — level 0 always uses cfg.tile_capacity)."""
         cfg = self.cfg
         sol = cfg.solver
-        if (sol.preconditioner != "multigrid" or not sol.multigrid.assembled
-                or cfg.grid_backend != "dense"):
+        if sol.preconditioner != "multigrid" or not sol.multigrid.assembled:
             return None
         import numpy as np
 
@@ -612,7 +615,7 @@ class Simulation:
         counts ~10x once the coarse cell count floors)."""
         cfg = self.cfg
         sol = cfg.solver
-        if (sol.preconditioner != "multigrid" or cfg.grid_backend != "dense"
+        if (sol.preconditioner != "multigrid"
                 or self._choose_bin_caps() is None):
             return None
         import numpy as np
@@ -644,8 +647,7 @@ class Simulation:
         sol = cfg.solver
         if (sol.preconditioner != "multigrid"
                 or sol.multigrid.coarse_solver != "direct"
-                or sol.multigrid.coarse_capacity is not None
-                or cfg.grid_backend != "dense"):
+                or sol.multigrid.coarse_capacity is not None):
             return None
         import numpy as np
 

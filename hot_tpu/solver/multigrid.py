@@ -62,6 +62,10 @@ class MGLevel:
     mat_sym: object = None      # ops.bsr.BsrMatrix (tile-row order, zero vals)
     nbr: object = None          # (T_cap, 3^dim) neighbor tile slots
     free_rows: object = None    # (n_rows,) bool
+    # COMPACT level: vectors live in tile-compacted node space (n_cnodes
+    # incl. trailing dump row) of `tgrid`, and tile-row index == compacted
+    # node id (sparse grid backend; component #25 composed with the MG)
+    compact: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def _replace(self, **kw) -> "MGLevel":
         return dataclasses.replace(self, **kw)
@@ -70,13 +74,34 @@ class MGLevel:
     def scatter(self):
         if self.bins is None:
             return transfer.default_scatter
+        if self.compact:
+            from hot_tpu.ops import tile_transfer
+
+            return tile_transfer.make_tile_scatter(self.bins, self.tgrid,
+                                                   self.nbr)
         return transfer.make_binned_scatter(self.bins, self.res)
 
     @property
     def gather_st(self):
         if self.bins is None:
             return transfer.default_gather_stencil
+        if self.compact:
+            from hot_tpu.ops import tile_transfer
+
+            return tile_transfer.make_tile_gather(self.bins, self.tgrid,
+                                                  self.nbr)
         return transfer.make_binned_gather(self.bins, self.res)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TileEmbed:
+    """Embed transfer tables for a COMPACT coarse level: sparse bins of the
+    fine nodes in the coarse tile grid + that grid's neighbor table."""
+
+    bins: object
+    tgrid: object
+    nbr: object
 
 
 class MGStatic(NamedTuple):
@@ -111,7 +136,7 @@ def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
 def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
     bin_caps=None, mg_tile_caps=None, mg_bin_caps=None,
-    kernel: str = "quadratic",
+    kernel: str = "quadratic", dense_switch=None, assembled_from: int = 0,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -122,43 +147,91 @@ def build_static(
     (sticky-style; coarse slip is treated as free — conservative, only
     affects preconditioner quality, not correctness).
 
-    tile_capacity > 0 builds every level on a block-sparse tile grid
-    (same capacity per level) instead of dense logical grids.
+    tile_capacity > 0 builds COMPACT levels on block-sparse tile grids:
+    level 0 always (its vectors must match the step's compacted residual
+    space), coarser levels while their dense node count exceeds
+    `dense_switch` (None = 2 * tile_capacity * 4^dim — switch to dense
+    once sparsity stops paying). The dense tail reuses all the dense-level
+    machinery (bins, mode assembly, Galerkin RAP, direct coarse factor) —
+    HOT's "agglomerate the coarse levels" guidance (SURVEY.md §5.7) in
+    storage form.
 
     mg_bin_caps: EXACT per-level (cells_cap, cap) CellBins capacities
     (host-chosen). Without it, coarse-level caps come from a shift
     heuristic off `bin_caps` that overshoots badly once the cell count
     floors (measured 10x slot inflation at a 8^3 coarsest level).
 
-    mg_tile_caps: per-level static tile capacities for ASSEMBLED levels
-    (dense logical grids only): each level also gets a tile grid + symbolic
-    tile-row BSR structure so build_precond can assemble explicit operators
-    and the V-cycle can smooth via the supertile SpMV
-    (ops.bsr_tiled.spmv_tiled) instead of per-particle quadrature applies.
+    mg_tile_caps: per-level static tile capacities. For ASSEMBLED levels
+    each level gets a tile grid + symbolic tile-row BSR structure so
+    build_precond can assemble explicit operators and the V-cycle can
+    smooth via the supertile SpMV (ops.bsr_tiled.spmv_tiled) instead of
+    per-particle quadrature applies. On compact levels they additionally
+    size the level's own tile grid (level 0 always uses tile_capacity).
     """
     sparse_mode = tile_capacity > 0
-    assembled = mg_tile_caps is not None and not sparse_mode
+    assembled = mg_tile_caps is not None
     if sparse_mode or assembled:
         from hot_tpu.grid import sparse as sparse_mod
-    if assembled:
         from hot_tpu.ops import bsr_tiled
+    if sparse_mode:
+        from hot_tpu.ops import tile_transfer
+
+        if dense_switch is None:
+            dense_switch = 2 * tile_capacity * (4 ** len(res))
 
     levels = []
     embeds = []
     embed_bins_list = []
-    track_overflow = assembled or bin_caps is not None or mg_bin_caps is not None
+    track_overflow = (assembled or sparse_mode or bin_caps is not None
+                      or mg_bin_caps is not None)
     overflow = jnp.zeros((), bool) if track_overflow else None
     cur_res = tuple(res)
     cur_dx = dx
     cons = constrained
+    carried_tg = None            # coarse tile grid built by the embed step
+
+    def _is_compact(l, r):
+        return sparse_mode and (
+            l == 0 or transfer.n_nodes_of(r) > dense_switch
+        )
+
+    def _level_tile_cap(l):
+        if l == 0 or mg_tile_caps is None:
+            return tile_capacity
+        return int(mg_tile_caps[l])
+
     for l in range(n_levels):
         bins_l = None
-        if sparse_mode:
-            tg = sparse_mod.build_tile_grid(x, cur_dx, cur_res, tile_capacity)
+        compact_l = _is_compact(l, cur_res)
+        if compact_l:
+            tg = carried_tg if carried_tg is not None else (
+                sparse_mod.build_tile_grid(x, cur_dx, cur_res,
+                                           _level_tile_cap(l))
+            )
             st = sparse_mod.sparse_stencil(x, cur_dx, tg)
             n_nodes = tg.n_cnodes
+            nbr_l = bsr_tiled.tile_neighbors(tg)
+            overflow = jnp.logical_or(overflow, tg.overflow)
+            if mg_bin_caps is not None:
+                cells_cap, cap = mg_bin_caps[l]
+                bins_l = tile_transfer.sparse_bins(x, cur_dx, tg,
+                                                   int(cells_cap), int(cap))
+            elif bin_caps is not None:
+                cells_cap = max(bin_caps[0] >> (len(res) * l), 64)
+                cap = min(bin_caps[1] << (len(res) * l), x.shape[0])
+                bins_l = tile_transfer.sparse_bins(x, cur_dx, tg,
+                                                   cells_cap, cap)
+            if bins_l is not None:
+                overflow = jnp.logical_or(overflow, bins_l.overflow)
+                grid_m = tile_transfer.tile_binned_scatter(
+                    bins_l, tg, nbr_l, st.wn * m[:, None]
+                )
+            else:
+                grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None],
+                                              n_nodes)
         else:
             tg = None
+            nbr_l = None
             # quadrature levels widen the SAME kernel family the objective
             # uses (HOT's construction); the node-embedding P/R below stay
             # quadratic by definition
@@ -177,14 +250,21 @@ def build_static(
                 bins_l = transfer.bin_particles(x, cur_dx, cur_res, cells_cap, cap)
             if bins_l is not None and track_overflow:
                 overflow = jnp.logical_or(overflow, bins_l.overflow)
-        if bins_l is not None:
-            grid_m = transfer.binned_scatter(bins_l, st.wn * m[:, None], cur_res)
-        else:
-            grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
+            if bins_l is not None:
+                grid_m = transfer.binned_scatter(bins_l, st.wn * m[:, None],
+                                                 cur_res)
+            else:
+                grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None],
+                                              n_nodes)
         active = grid_m > 0
         free = jnp.logical_and(active, jnp.logical_not(cons))
-        tg_l = mat_l = nbr_l = free_rows_l = None
-        if assembled:
+        tg_l = mat_l = free_rows_l = None
+        if compact_l:
+            tg_l = tg
+            if assembled and l >= assembled_from:
+                mat_l = bsr_tiled.structure_tiled(tg)
+                free_rows_l = free[:-1]             # rows == compacted ids
+        elif assembled and l >= assembled_from:
             tg_l = sparse_mod.build_tile_grid(
                 x, cur_dx, cur_res, int(mg_tile_caps[l])
             )
@@ -197,33 +277,51 @@ def build_static(
         levels.append(
             MGLevel(stencil=st, grid_m=grid_m, active=active, free=free,
                     dx=cur_dx, res=cur_res, bins=bins_l, tgrid=tg_l,
-                    mat_sym=mat_l, nbr=nbr_l, free_rows=free_rows_l)
+                    mat_sym=mat_l, nbr=nbr_l, free_rows=free_rows_l,
+                    compact=compact_l)
         )
         if l == n_levels - 1:
             break
         nxt_res = coarse_res(cur_res)
         nxt_dx = cur_dx * 2.0
         e_bins = None
-        if sparse_mode:
+        carried_tg = None
+        compact_next = _is_compact(l + 1, nxt_res)
+        if compact_l:
             node_pos = sparse_mod.node_positions(tg, cur_dx, dtype)
-            tg_next = sparse_mod.build_tile_grid(x, nxt_dx, nxt_res, tile_capacity)
+        else:
+            node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
+        finite = jnp.all(node_pos < 1e8, axis=-1)
+        if compact_next:
+            tg_next = sparse_mod.build_tile_grid(x, nxt_dx, nxt_res,
+                                                 _level_tile_cap(l + 1))
+            carried_tg = tg_next
             embed = sparse_mod.sparse_stencil(node_pos, nxt_dx, tg_next)
             n_coarse = tg_next.n_cnodes
             # inactive/dump fine nodes sit at a far position: zero their
             # embedding weights so they cannot pollute coarse sums
-            ok = active[:, None]
-            embed = embed._replace(wn=jnp.where(ok, embed.wn, 0.0))
+            embed = embed._replace(wn=jnp.where(active[:, None], embed.wn, 0.0))
+            if bins_l is not None or mg_bin_caps is not None:
+                nbr_next = bsr_tiled.tile_neighbors(tg_next)
+                eb = tile_transfer.sparse_bins(
+                    node_pos, nxt_dx, tg_next, tg_next.dump, 2 ** len(res),
+                    valid=finite,
+                )
+                e_bins = TileEmbed(bins=eb, tgrid=tg_next, nbr=nbr_next)
         else:
-            node_pos = transfer.node_positions(cur_res, cur_dx, dtype)
             embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
             n_coarse = transfer.n_nodes_of(nxt_res)
-            if bin_caps is not None:
-                # every coarse cell holds at most 2^dim embedded fine nodes
-                embed_cells = transfer.n_nodes_of(
-                    tuple(-(-r // 1) for r in nxt_res)
+            if compact_l:
+                # fine compacted pads/dump sit far away: mask their weights
+                embed = embed._replace(
+                    wn=jnp.where(active[:, None], embed.wn, 0.0)
                 )
+            if bin_caps is not None or mg_bin_caps is not None:
+                # every coarse cell holds at most 2^dim embedded fine nodes
                 e_bins = transfer.bin_particles(
-                    node_pos, nxt_dx, nxt_res, embed_cells, 2 ** len(res)
+                    node_pos, nxt_dx, nxt_res, transfer.n_nodes_of(nxt_res),
+                    2 ** len(res),
+                    valid=(finite if compact_l else None),
                 )
         embeds.append(embed)
         embed_bins_list.append(e_bins)
@@ -272,10 +370,31 @@ def _rows_mul(level: MGLevel, mat):
 
 def _free_rows_of(level: MGLevel, mat):
     """Free mask in the ROW order of `mat` (whatever its structure)."""
+    if level.compact:
+        # compact levels: row index == compacted node id (dump row dropped)
+        return level.free[:-1]
     n_nodes = level.grid_m.shape[0]
     ok = mat.node_of < n_nodes
     return jnp.logical_and(level.free[jnp.minimum(mat.node_of, n_nodes - 1)],
                            ok)
+
+
+def _to_rows(level: MGLevel, mat, v):
+    """Level vector -> mat row layout. Compact levels: drop the dump row."""
+    if level.compact:
+        return v[:-1]
+    from hot_tpu.ops import bsr as bsr_mod
+
+    return bsr_mod.grid_vector_to_rows(mat, v)
+
+
+def _from_rows(level: MGLevel, mat, y):
+    """mat row layout -> level vector. Compact levels: append a zero dump row."""
+    if level.compact:
+        return jnp.concatenate([y, jnp.zeros((1, y.shape[1]), y.dtype)], axis=0)
+    from hot_tpu.ops import bsr as bsr_mod
+
+    return bsr_mod.rows_to_grid_vector(mat, y, level.grid_m.shape[0])
 
 
 def level_multiply_any(level: MGLevel, mat, F_n, ctx, V0, dt, w):
@@ -284,10 +403,8 @@ def level_multiply_any(level: MGLevel, mat, F_n, ctx, V0, dt, w):
     otherwise."""
     if mat is None:
         return level_multiply(level, F_n, ctx, V0, dt, w)
-    from hot_tpu.ops import bsr as bsr_mod
-
-    y_rows = _rows_mul(level, mat)(bsr_mod.grid_vector_to_rows(mat, w))
-    y = bsr_mod.rows_to_grid_vector(mat, y_rows, level.grid_m.shape[0])
+    y_rows = _rows_mul(level, mat)(_to_rows(level, mat, w))
+    y = _from_rows(level, mat, y_rows)
     return jnp.where(level.active[:, None], y, w)
 
 
@@ -333,7 +450,7 @@ def build_precond(
         if level.mat_sym is not None:
             from hot_tpu.ops import bsr as bsr_mod
 
-            if galerkin and l > 0:
+            if galerkin and prev_mat is not None:
                 # Galerkin coarse operator A_l = P^T A_{l-1} P (structured
                 # SpGEMM) — consistency of the coarse CORRECTION is what
                 # makes the V-cycle contract; the rediscretized hierarchy
@@ -341,16 +458,35 @@ def build_precond(
                 # twisting bar where this one measures 0.06.
                 from hot_tpu.ops import spgemm
 
-                cap = level.mat_sym.n_rows
-                if (l == len(mg.levels) - 1 and cfg.coarse_solver == "direct"
-                        and cfg.coarse_capacity is not None):
-                    # compact the coarsest Galerkin operator to its active
-                    # rows: the dense coarse factor is (cap*d)^2, and the
-                    # full tile-row capacity (mg_tile_caps[-1] * 4^dim)
-                    # silently rebuilt the ~600 MB factor the active-rows
-                    # coarse_capacity fix exists to avoid
-                    cap = int(cfg.coarse_capacity)
-                mat = spgemm.rap(prev_mat, level.res, level.active, cap)
+                if level.compact:
+                    # tile-compacted coarse rows (sparse backend)
+                    mat = spgemm.rap(prev_mat, level.res, None, 0,
+                                     coarse_tgrid=level.tgrid)
+                else:
+                    cap = level.mat_sym.n_rows
+                    if (l == len(mg.levels) - 1
+                            and cfg.coarse_solver == "direct"
+                            and cfg.coarse_capacity is not None):
+                        # compact the coarsest Galerkin operator to its
+                        # active rows: the dense coarse factor is
+                        # (cap*d)^2, and the full tile-row capacity
+                        # (mg_tile_caps[-1] * 4^dim) silently rebuilt the
+                        # ~600 MB factor the active-rows coarse_capacity
+                        # fix exists to avoid
+                        cap = int(cfg.coarse_capacity)
+                    mat = spgemm.rap(prev_mat, level.res, level.active, cap)
+            elif level.compact:
+                from hot_tpu.ops import bsr_tiled
+
+                if level.bins is None:
+                    raise NotImplementedError(
+                        "assembled MG on the sparse backend needs tile "
+                        "bins (transfer_impl='binned' or mg_bin_caps)"
+                    )
+                mat = bsr_tiled.assemble_hessian_modes_tiled(
+                    level.mat_sym, level.bins, level.tgrid, level.stencil,
+                    F_n, ctx, V0, dt, level.grid_m
+                )
             elif level.bins is not None:
                 # scatter-free rank-1-mode assembly (XLA:TPU serializes
                 # colliding scatter-adds, and the einsum formulation's 6D
@@ -392,6 +528,12 @@ def build_precond(
         lmax.append(lam)
     chol = None
     if cfg.coarse_solver == "direct":
+        if mg.levels[-1].compact:
+            raise NotImplementedError(
+                "direct coarse solve needs a dense coarsest level: add MG "
+                "levels (or lower dense_switch) so the coarsest grid "
+                "leaves the compact tile representation"
+            )
         if galerkin and mats[-1] is not None:
             # factor the already-built Galerkin coarsest operator
             lv = mg.levels[-1]
@@ -575,13 +717,11 @@ def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfi
     if mat is None:
         mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
         return _smooth_ops(mul, proj, pre, l, cfg, b, x, iters)
-    from hot_tpu.ops import bsr as bsr_mod
-
     mul, proj = _level_ops_rows(level, mat)
-    b_r = bsr_mod.grid_vector_to_rows(mat, b)
-    x_r = bsr_mod.grid_vector_to_rows(mat, x)
+    b_r = _to_rows(level, mat, b)
+    x_r = _to_rows(level, mat, x)
     x_r = _smooth_ops(mul, proj, pre, l, cfg, b_r, x_r, iters)
-    return bsr_mod.rows_to_grid_vector(mat, x_r, level.grid_m.shape[0])
+    return _from_rows(level, mat, x_r)
 
 
 # ---------------------------------------------------------------------------
@@ -593,6 +733,11 @@ def restrict(embed: transfer.Stencil, r_fine, n_nodes_coarse: int,
              bins=None, res_coarse=None):
     """R = P^T: scatter fine residual into coarse nodes."""
     vals = embed.wn[:, :, None] * r_fine[:, None, :]
+    if isinstance(bins, TileEmbed):
+        from hot_tpu.ops import tile_transfer
+
+        return tile_transfer.tile_binned_scatter(bins.bins, bins.tgrid,
+                                                 bins.nbr, vals)
     if bins is not None:
         return transfer.binned_scatter(bins, vals, res_coarse)
     return transfer.scatter_sum(embed.node_ids, vals, n_nodes_coarse)
@@ -600,7 +745,12 @@ def restrict(embed: transfer.Stencil, r_fine, n_nodes_coarse: int,
 
 def prolong(embed: transfer.Stencil, e_coarse, bins=None, res_coarse=None):
     """P: interpolate coarse correction at fine nodes (node embedding)."""
-    if bins is not None:
+    if isinstance(bins, TileEmbed):
+        from hot_tpu.ops import tile_transfer
+
+        ec = tile_transfer.tile_window_gather(bins.bins, bins.tgrid,
+                                              bins.nbr, e_coarse)
+    elif bins is not None:
         ec = transfer.window_gather(bins, e_coarse, res_coarse)
     else:
         ec = transfer.gather(e_coarse, embed.node_ids)   # (n_fine, 3^d, d)
@@ -634,19 +784,16 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
                     max_iters=cfg.coarse_iters,
                 )
                 return res.x
-            from hot_tpu.ops import bsr as bsr_mod
-
             mul, proj = _level_ops_rows(level, cmat)
             res = cg_solve(
                 lambda w: proj(mul(w)),
-                bsr_mod.grid_vector_to_rows(cmat, b),
+                _to_rows(level, cmat, b),
                 precondition=lambda r: _bapply(Dinv, r),
                 project=proj,
                 tol=1e-2,
                 max_iters=cfg.coarse_iters,
             )
-            return bsr_mod.rows_to_grid_vector(cmat, res.x,
-                                               level.grid_m.shape[0])
+            return _from_rows(level, cmat, res.x)
         return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
     r = level_project(

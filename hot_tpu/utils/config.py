@@ -53,6 +53,14 @@ class MultigridConfig:
     #                inconsistent corrections under large deformation/BCs;
     #                kept for A/B and as the matrix-free levels' semantics).
     coarsening: str = "galerkin"
+    # First level that gets an explicit assembled operator (assembled
+    # mode). Levels below it run matrix-free quadrature smoothing. At
+    # >=256^3 the finest-level explicit BSR is ~8.7 GB (1.9M rows x 125
+    # offsets x 9 x fp32) — does not fit a 16 GB chip; set 1 so only the
+    # coarser levels assemble. With coarsening='galerkin' the FIRST
+    # assembled level is quadrature-built (it has no explicit parent);
+    # deeper levels RAP from it.
+    assembled_from_level: int = 0
     # Static row capacity of the dense coarse factor (coarse_solver =
     # "direct"): the factor is built over ACTIVE coarsest rows only, so it
     # costs (capacity*d)^2 instead of (n_nodes*d)^2 — the full-grid factor
@@ -60,6 +68,12 @@ class MultigridConfig:
     # (measured). None = Simulation auto-chooses from the particle layout
     # (full n_nodes when driven without a Simulation).
     coarse_capacity: Optional[int] = None
+    # Sparse grid backend: MG levels stay tile-COMPACT while their dense
+    # node count exceeds this; coarser levels switch to dense logical
+    # grids (HOT's coarse-level agglomeration, SURVEY.md §5.7, in storage
+    # form — the dense tail reuses the direct coarse factor and dense
+    # Galerkin RAP). None = 2 * tile_capacity * 4^dim.
+    sparse_dense_switch: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -171,3 +171,180 @@ def test_sparse_tile_binned_3d_runs():
         stats = sim.step(1e-3)
     assert bool(jnp.all(jnp.isfinite(sim.state.x)))
     assert int(stats.active_tiles) > 0
+
+
+def test_tiled_mode_assembly_matches_matrix_free(rng):
+    """assemble_hessian_modes_tiled on the compacted tile structure ==
+    the matrix-free quadrature apply on compacted vectors (2D + 3D)."""
+    from hot_tpu.models import constitutive as cm
+    from hot_tpu.ops import bsr_tiled, tile_transfer
+    from hot_tpu.sim import objective as obj_mod
+
+    model = cm.FixedCorotated()
+    for dim, res_n, n in ((2, 32, 300), (3, 16, 200)):
+        res = (res_n,) * dim
+        dx = 1.0 / res_n
+        lo, hi = 2.5 * dx, (res_n - 3.5) * dx
+        x = jnp.asarray(rng.uniform(lo, hi, size=(n, dim)))
+        F = jnp.asarray(
+            np.eye(dim)[None] + 0.1 * rng.standard_normal((n, dim, dim))
+        )
+        V0 = jnp.asarray(rng.uniform(0.5, 1.5, (n,)))
+        mu = jnp.full((n,), 30.0)
+        lam = jnp.full((n,), 50.0)
+        m = jnp.asarray(rng.uniform(0.5, 2.0, (n,)))
+        dt = 1e-2
+
+        tg = sp.build_tile_grid(x, dx, res, capacity=256)
+        st = sp.sparse_stencil(x, dx, tg)
+        nbr = bsr_tiled.tile_neighbors(tg)
+        bins = tile_transfer.sparse_bins(x, dx, tg, cells_cap=512, cap=32)
+        assert not bool(bins.overflow)
+        grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None],
+                                      tg.n_cnodes)
+        active = grid_m > 0
+
+        ctx = jax.vmap(lambda f, m_, l_: cm.hessian_context(model, f, m_, l_))(
+            F, mu, lam
+        )
+        mat = bsr_tiled.structure_tiled(tg)
+        mat = bsr_tiled.assemble_hessian_modes_tiled(
+            mat, bins, tg, st, F, ctx, V0, dt, grid_m
+        )
+
+        w = jnp.asarray(rng.standard_normal((tg.n_cnodes, dim)))
+        w = w.at[tg.dump].set(0.0)
+        want = obj_mod.elastic_hessian_apply(
+            st, F, ctx, V0, dt, grid_m, active, w
+        )
+        y_rows = bsr_tiled.spmv_tiled(mat, tg, nbr, w[:-1])
+        got = jnp.concatenate([y_rows, jnp.zeros((1, dim))], axis=0)
+        got = jnp.where(active[:, None], got, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_rap_tiled_matches_dense_on_active_tiles(rng):
+    """spgemm.rap with coarse_tgrid == dense rap on every coarse row that
+    lies inside an active coarse tile (rows outside are the documented
+    subspace drop)."""
+    from hot_tpu.models import constitutive as cm
+    from hot_tpu.ops import bsr, bsr_tiled, spgemm, tile_transfer
+
+    model = cm.FixedCorotated()
+    dim, res_n, n = 2, 32, 300
+    res = (res_n,) * dim
+    dx = 1.0 / res_n
+    lo, hi = 2.5 * dx, (res_n - 3.5) * dx
+    x = jnp.asarray(rng.uniform(lo, hi, size=(n, dim)))
+    F = jnp.asarray(np.eye(dim)[None] + 0.1 * rng.standard_normal((n, dim, dim)))
+    V0 = jnp.asarray(rng.uniform(0.5, 1.5, (n,)))
+    mu = jnp.full((n,), 30.0)
+    lam = jnp.full((n,), 50.0)
+    m = jnp.asarray(rng.uniform(0.5, 2.0, (n,)))
+    dt = 1e-2
+
+    tg = sp.build_tile_grid(x, dx, res, capacity=256)
+    st = sp.sparse_stencil(x, dx, tg)
+    bins = tile_transfer.sparse_bins(x, dx, tg, cells_cap=512, cap=32)
+    grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], tg.n_cnodes)
+    ctx = jax.vmap(lambda f, m_, l_: cm.hessian_context(model, f, m_, l_))(
+        F, mu, lam
+    )
+    A = bsr_tiled.structure_tiled(tg)
+    A = bsr_tiled.assemble_hessian_modes_tiled(
+        A, bins, tg, st, F, ctx, V0, dt, grid_m
+    )
+
+    cres = tuple(r // 2 for r in res)
+    cdx = 2 * dx
+    tg_c = sp.build_tile_grid(x, cdx, cres, capacity=128)
+    Ac_tiled = spgemm.rap(A, cres, None, 0, coarse_tgrid=tg_c)
+
+    n_coarse = transfer.n_nodes_of(cres)
+    Ac_dense = spgemm.rap(A, cres, jnp.ones((n_coarse,), bool), n_coarse)
+
+    # compare row blocks through the dense node ids
+    node_of_t = np.asarray(Ac_tiled.node_of)
+    row_of_d = np.asarray(Ac_dense.row_of)
+    vt = np.asarray(Ac_tiled.vals)
+    vd = np.asarray(Ac_dense.vals)
+    ct = np.asarray(Ac_tiled.col_row)
+    cd = np.asarray(Ac_dense.col_row)
+    checked = 0
+    for r_t in range(vt.shape[0]):
+        nd = node_of_t[r_t]
+        if nd >= n_coarse:
+            continue
+        r_d = row_of_d[nd]
+        assert r_d >= 0
+        for k in range(vt.shape[1]):
+            if ct[r_t, k] >= 0 and cd[r_d, k] >= 0:
+                np.testing.assert_allclose(vt[r_t, k], vd[r_d, k],
+                                           rtol=1e-6, atol=1e-9)
+                checked += 1
+    assert checked > 100
+
+
+def test_sparse_assembled_galerkin_mg_trajectory():
+    """Sparse backend + assembled Galerkin MG (the config-5 composition):
+    same trajectory as the dense assembled Galerkin MG. Two hierarchies:
+    compact->dense tail (auto switch, direct coarse) and all-compact
+    (sparse_dense_switch=1, smoother coarse)."""
+    cases = {
+        "dense": {"grid_backend": "dense"},
+        "sparse_tail": {"grid_backend": "sparse", "tile_capacity": 128},
+        "sparse_all_compact": {
+            "grid_backend": "sparse", "tile_capacity": 128,
+            "solver.multigrid.sparse_dense_switch": 1,
+            "solver.multigrid.coarse_solver": "smoother",
+        },
+        # matrix-free finest + assembled coarser levels (the >=256^3
+        # memory configuration: the finest explicit BSR doesn't fit HBM);
+        # the first assembled level is quadrature-built, deeper ones RAP
+        "sparse_mf_finest": {
+            "grid_backend": "sparse", "tile_capacity": 128,
+            "solver.multigrid.assembled_from_level": 1,
+        },
+    }
+    states = {}
+    iters = {}
+    for name, over in cases.items():
+        scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+        base = {
+            "transfer_impl": "binned",
+            "solver.preconditioner": "multigrid",
+            "solver.multigrid.levels": 3,
+            "solver.multigrid.assembled": True,
+        }
+        base.update(over)
+        cfg = config_from_overrides(scene["cfg"], base)
+        sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+        for _ in range(70):
+            sim.step(4e-3)
+        states[name] = np.asarray(sim.state.x)
+        recs = [r for r in sim.metrics.records if "newton_iters" in r]
+        iters[name] = (
+            sum(r["newton_iters"] for r in recs),
+            sum(r["cg_iters"] for r in recs),
+        )
+        assert all(r["converged"] for r in recs), name
+    for name in ("sparse_tail", "sparse_all_compact"):
+        assert iters[name][0] == iters["dense"][0], (name, iters)
+        # CG counts may differ slightly: compact hierarchies drop coarse
+        # rows outside active tiles (subspace Galerkin)
+        assert abs(iters[name][1] - iters["dense"][1]) <= 0.1 * iters["dense"][1] + 5, (name, iters)
+    # mf-finest: the first assembled level is quadrature-built (no explicit
+    # parent to RAP from), a genuinely different preconditioner — measured
+    # 13/21 vs 11/11 here; bound it loosely and require convergence
+    assert iters["sparse_mf_finest"][0] <= iters["dense"][0] + 4, iters
+    assert iters["sparse_mf_finest"][1] <= 3 * iters["dense"][1] + 5, iters
+    # positions agree to CG-tolerance level, not bitwise: compact
+    # hierarchies drop overhang coarse rows (subspace Galerkin) and the
+    # mf-finest hierarchy's level 1 is quadrature-built, so the
+    # preconditioner differs and CG returns a different iterate within
+    # cg_tol (measured 8e-7 / 3e-5 over 70 steps; iteration counts above)
+    for name in ("sparse_tail", "sparse_all_compact", "sparse_mf_finest"):
+        atol = 2e-4 if name == "sparse_mf_finest" else 5e-6
+        np.testing.assert_allclose(states[name], states["dense"], atol=atol,
+                                   err_msg=f"{name}, iters={iters}")
