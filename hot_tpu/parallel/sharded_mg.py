@@ -479,10 +479,12 @@ def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
     if cfg.coarse_solver == "direct":
         if galerkin and mats[-1] is not None:
             chol = _coarse_factor_from_mat(smg.levels[-1], mats[-1], dim,
-                                           axis, dev)
+                                           axis, dev,
+                                           capacity=cfg.coarse_capacity)
         else:
             chol = _coarse_dense_factor(smg.levels[-1], F, ctx, V0, dt, dim,
-                                        axis, D)
+                                        axis, D,
+                                        capacity=cfg.coarse_capacity)
     return SMGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                       coarse_chol=chol,
                       mats=tuple(mats) if any_assembled else ())
@@ -517,12 +519,20 @@ def _power_lmax(level, mul, Dinv, iters, axis):
 # ---------------------------------------------------------------------------
 
 
-def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D):
+def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D,
+                         capacity=None):
     """Dense BC-projected coarsest operator: local quadrature contributions
     with GLOBAL node ids, psum'd across the mesh, factored replicated.
 
+    capacity: static ACTIVE-row cap — the factor costs (capacity*d)^2
+    instead of (n_nodes*d)^2 (the full 32^3-coarsest factor is 38 GB;
+    the single-device fix of round 1, applied to the agglomerated path).
+    None = all nodes (only for tiny coarse grids).
+
     The coarsest grid must be small (choose `levels` so n_nodes(res_L) is a
     few thousand at most — HOT's own guidance for its LDLT coarse solve)."""
+    from hot_tpu.ops import bsr as bsr_mod
+
     res = level.res
     n_nodes = transfer.n_nodes_of(res)
     gids = level.gids                    # (n, 3^dim) GLOBAL flat node ids
@@ -543,41 +553,51 @@ def _coarse_dense_factor(level: SMGLevel, F, ctx, V0, dt, dim, axis, D):
         return dt * V0_p * jnp.einsum("iabc,jc->jiba", dPs, g)   # (s_j, s_i, d, d)
 
     blocks = jax.vmap(per_particle)(level.st.gwn, F, ctx, V0)
-    rows = gids[:, :, None]                                      # (n, s_j, 1)
-    cols = gids[:, None, :]                                      # (n, 1, s_i)
-    flat = rows * n_nodes + cols                                 # (n, s_j, s_i)
-    A = jnp.zeros((n_nodes * n_nodes + 1, dim * dim), blocks.dtype)
-    A = A.at[flat.reshape(-1)].add(blocks.reshape(-1, dim * dim))[:-1]
-    A = A.reshape(n_nodes, n_nodes, dim, dim)
-    A = jax.lax.psum(A, axis)                                    # agglomerate
-    # inertia on the diagonal (global masses) + BC/inactive projection
     gm = jax.lax.all_gather(
         level.grid_m.reshape(level.planes, level.plane_nodes), axis, tiled=True
     ).reshape(-1)
     free = jax.lax.all_gather(
         level.free.reshape(level.planes, level.plane_nodes), axis, tiled=True
     ).reshape(-1)
+    cap = int(capacity) if capacity else n_nodes
+    node_of_c, row_of_c = bsr_mod.active_rows(gm > 0, cap)
+    r_j = row_of_c[jnp.clip(gids, 0, n_nodes - 1)]               # (n, s)
+    ok_g = (gids >= 0) & (gids < n_nodes) & (r_j >= 0)
+    rows = jnp.where(ok_g, r_j, cap)[:, :, None]                 # (n, s_j, 1)
+    cols = jnp.where(ok_g, r_j, cap)[:, None, :]                 # (n, 1, s_i)
+    flat = jnp.minimum(rows * (cap + 1) + cols, cap * (cap + 1) + cap)
+    A = jnp.zeros(((cap + 1) * (cap + 1), dim * dim), blocks.dtype)
+    A = A.at[flat.reshape(-1)].add(blocks.reshape(-1, dim * dim))
+    A = A.reshape(cap + 1, cap + 1, dim, dim)[:cap, :cap]
+    A = jax.lax.psum(A, axis)                                    # agglomerate
+    # inertia on the diagonal (global masses) + BC/inactive projection
+    valid_r = node_of_c < n_nodes
+    safe = jnp.minimum(node_of_c, n_nodes - 1)
+    gm_rows = jnp.where(valid_r, gm[safe], 0.0)
+    free_rows = jnp.where(valid_r, free[safe], False)
     eye = jnp.eye(dim, dtype=A.dtype)
-    idx = jnp.arange(n_nodes)
-    A = A.at[idx, idx].add(gm[:, None, None] * eye[None])
-    ok = free[:, None] & free[None, :]
+    idx = jnp.arange(cap)
+    A = A.at[idx, idx].add(gm_rows[:, None, None] * eye[None])
+    ok = free_rows[:, None] & free_rows[None, :]
     A = jnp.where(ok[:, :, None, None], A, 0.0)
-    A = A.transpose(0, 2, 1, 3).reshape(n_nodes * dim, n_nodes * dim)
-    diag_fix = jnp.repeat(~free, dim).astype(A.dtype)
+    A = A.transpose(0, 2, 1, 3).reshape(cap * dim, cap * dim)
+    diag_fix = jnp.repeat(~free_rows, dim).astype(A.dtype)
     A = A + jnp.diag(diag_fix)
     eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
     A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
     # factor array only (see solver.multigrid._coarse_dense_factor)
     c, _ = jax.scipy.linalg.cho_factor(A)
-    return c
+    return (c, node_of_c)
 
 
 def _coarse_factor_from_mat(level: SMGLevel, mat, dim: int, axis: str,
-                            dev):
+                            dev, capacity=None):
     """Galerkin agglomerated coarsest factor: densify this device's partial
     RAP operator at GLOBAL coarse node ids, psum across the mesh, project
     BCs, factor replicated. mat carries inertia inside (galerkin mode), so
-    no mass term is added here."""
+    no mass term is added here. capacity: static ACTIVE-row cap — see
+    _coarse_dense_factor (the full-grid factor is 38 GB at a 32^3
+    coarsest); None = all nodes."""
     from hot_tpu.ops import bsr as bsr_mod
 
     res = level.res
@@ -609,34 +629,59 @@ def _coarse_factor_from_mat(level: SMGLevel, mat, dim: int, axis: str,
                     axis=-1)
     ok = valid_r[:, None] & ok_c & (mat.col_row >= 0)
     dd = dim * dim
-    flat = jnp.where(ok, g_row[:, None] * n_nodes + g_col, n_nodes * n_nodes)
-    vals = jnp.where(ok[:, :, None], mat.vals.reshape(-1, mat.K, dd), 0.0)
-    A = jnp.zeros((n_nodes * n_nodes + 1, dd), vals.dtype)
-    A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dd),
-                                   unique_indices=True)[:-1]
-    A = A.reshape(n_nodes, n_nodes, dim, dim)
-    A = jax.lax.psum(A, axis)                               # agglomerate
+
+    gm = jax.lax.all_gather(
+        level.grid_m.reshape(level.planes, level.plane_nodes), axis, tiled=True
+    ).reshape(-1)
     free = jax.lax.all_gather(
         level.free.reshape(level.planes, level.plane_nodes), axis, tiled=True
     ).reshape(-1)
-    okf = free[:, None] & free[None, :]
+    cap = int(capacity) if capacity else n_nodes
+    node_of_c, row_of_c = bsr_mod.active_rows(gm > 0, cap)
+    r_row = row_of_c[jnp.clip(g_row, 0, n_nodes - 1)]
+    r_col = row_of_c[jnp.clip(g_col, 0, n_nodes - 1)]
+    ok = ok & (r_row >= 0)[:, None] & (r_col >= 0)
+    rr = jnp.where(ok, r_row[:, None], cap)
+    cc = jnp.where(ok, r_col, cap)
+    flat = jnp.minimum(rr * (cap + 1) + cc, cap * (cap + 1) + cap)
+    vals = jnp.where(ok[:, :, None], mat.vals.reshape(-1, mat.K, dd), 0.0)
+    A = jnp.zeros(((cap + 1) * (cap + 1), dd), vals.dtype)
+    A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dd))
+    A = A.reshape(cap + 1, cap + 1, dim, dim)[:cap, :cap]
+    A = jax.lax.psum(A, axis)                               # agglomerate
+    valid_rows = node_of_c < n_nodes
+    free_rows = jnp.where(valid_rows,
+                          free[jnp.minimum(node_of_c, n_nodes - 1)], False)
+    okf = free_rows[:, None] & free_rows[None, :]
     A = jnp.where(okf[:, :, None, None], A, 0.0)
-    A = A.transpose(0, 2, 1, 3).reshape(n_nodes * dim, n_nodes * dim)
-    diag_fix = jnp.repeat(~free, dim).astype(A.dtype)
+    A = A.transpose(0, 2, 1, 3).reshape(cap * dim, cap * dim)
+    diag_fix = jnp.repeat(~free_rows, dim).astype(A.dtype)
     A = A + jnp.diag(diag_fix)
     eps = jnp.asarray(1e-8, A.dtype) * jnp.maximum(jnp.max(jnp.diag(A)), 1.0)
     A = A + eps * jnp.eye(A.shape[0], dtype=A.dtype)
     c, _ = jax.scipy.linalg.cho_factor(A)
-    return c
+    return (c, node_of_c)
 
 
-def _coarse_dense_solve(level: SMGLevel, chol, b_local, axis: str):
-    """all_gather the coarse rhs, replicated solve, slice the owned planes."""
+def _coarse_dense_solve(level: SMGLevel, chol_rows, b_local, axis: str):
+    """all_gather the coarse rhs, replicated ACTIVE-ROW solve, slice the
+    owned planes."""
+    chol, node_of_c = chol_rows
+    res = level.res
+    n_nodes = transfer.n_nodes_of(res)
     d = b_local.shape[-1]
-    b_full = jax.lax.all_gather(
+    b_nodes = jax.lax.all_gather(
         b_local.reshape(level.planes, level.plane_nodes, d), axis, tiled=True
-    ).reshape(-1)
-    x = jax.scipy.linalg.cho_solve((chol, False), b_full)
+    ).reshape(n_nodes, d)
+    valid = node_of_c < n_nodes
+    safe = jnp.minimum(node_of_c, n_nodes - 1)
+    b_rows = jnp.where(valid[:, None], b_nodes[safe], 0.0)
+    x_rows = jax.scipy.linalg.cho_solve(
+        (chol, False), b_rows.reshape(-1)
+    ).reshape(-1, d)
+    x_nodes = jnp.zeros((n_nodes + 1, d), b_local.dtype)
+    x_nodes = x_nodes.at[jnp.where(valid, node_of_c, n_nodes)].set(x_rows)[:n_nodes]
+    x = x_nodes.reshape(-1)
     x = x.reshape(-1, level.plane_nodes, d)
     dev = jax.lax.axis_index(axis)
     x_local = jax.lax.dynamic_slice_in_dim(x, dev * level.planes, level.planes, 0)
