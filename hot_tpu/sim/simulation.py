@@ -62,6 +62,7 @@ def advance_one_step(
     bsr_tile_cap: Optional[int] = None,  # tile cap for the explicit outer BSR
     mg_coarse_cap: Optional[int] = None,  # active-row cap of the dense coarse factor
     mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,  # exact per-MG-level bin caps
+    mg_composed_caps: Optional[Tuple[int, int]] = None,  # composed-Galerkin bins
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -77,7 +78,7 @@ def advance_one_step(
             state, dt, t, cfg=cfg, model=model, colliders=colliders,
             plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
             bsr_tile_cap=bsr_tile_cap, mg_coarse_cap=mg_coarse_cap,
-            mg_bin_caps=mg_bin_caps,
+            mg_bin_caps=mg_bin_caps, mg_composed_caps=mg_composed_caps,
         )
 
 
@@ -95,6 +96,7 @@ def _advance_one_step_impl(
     bsr_tile_cap: Optional[int] = None,
     mg_coarse_cap: Optional[int] = None,
     mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,
+    mg_composed_caps: Optional[Tuple[int, int]] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -337,6 +339,7 @@ def _advance_one_step_impl(
             kernel=cfg.transfer_kernel,
             dense_switch=sol.multigrid.sparse_dense_switch,
             assembled_from=sol.multigrid.assembled_from_level,
+            mg_composed_caps=mg_composed_caps,
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
@@ -538,7 +541,8 @@ class Simulation:
         self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps(),
                            self._choose_bsr_tile_cap(),
                            self._choose_mg_coarse_cap(),
-                           self._choose_mg_bin_caps())
+                           self._choose_mg_bin_caps(),
+                           self._choose_mg_composed_caps())
 
     def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
         """Pick static bin capacities from the current state (host-side).
@@ -669,6 +673,28 @@ class Simulation:
         count = len(np.unique(np.concatenate(ids)))
         return int(np.ceil(grow * (1.2 * count + 16)))
 
+    def _choose_mg_composed_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
+        """Exact (cells_cap, cap) for the composed-Galerkin particle bins
+        of the first assembled level (matrix-free-finest hierarchies with
+        coarsening='galerkin' and assembled_from_level > 0)."""
+        cfg = self.cfg
+        sol = cfg.solver
+        mgc = sol.multigrid
+        if (sol.preconditioner != "multigrid" or not mgc.assembled
+                or mgc.assembled_from_level <= 0
+                or mgc.coarsening != "galerkin"):
+            return None
+        from hot_tpu.ops import composed as comp_mod
+
+        L = mgc.assembled_from_level
+        dim = cfg.dim
+        res_L = tuple(int(r) for r in cfg.grid_res[:dim])
+        for _ in range(L):
+            res_L = tuple((r + 1) // 2 for r in res_L)
+        return comp_mod.composed_bin_caps_host(
+            self.state.x, cfg.dx, L, res_L, dim, grow=grow
+        )
+
     def _choose_bsr_tile_cap(self, grow: float = 1.0) -> Optional[int]:
         """Static tile capacity for the explicit outer BSR operator
         (matrix_free=False): tile-row layout + supertile SpMV."""
@@ -687,12 +713,13 @@ class Simulation:
                       mg_tile_caps: Optional[Tuple[int, ...]] = None,
                       bsr_tile_cap: Optional[int] = None,
                       mg_coarse_cap: Optional[int] = None,
-                      mg_bin_caps=None):
+                      mg_bin_caps=None, mg_composed_caps=None):
         self._bin_caps = bin_caps
         self._mg_tile_caps = mg_tile_caps
         self._bsr_tile_cap = bsr_tile_cap
         self._mg_coarse_cap = mg_coarse_cap
         self._mg_bin_caps = mg_bin_caps
+        self._mg_composed_caps = mg_composed_caps
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -705,6 +732,7 @@ class Simulation:
                 bsr_tile_cap=bsr_tile_cap,
                 mg_coarse_cap=mg_coarse_cap,
                 mg_bin_caps=mg_bin_caps,
+                mg_composed_caps=mg_composed_caps,
             )
         )
 
@@ -736,7 +764,8 @@ class Simulation:
                 # and redo the step — the overflowed result dropped particles.
                 if (self._bin_caps is None and self._mg_tile_caps is None
                         and self._bsr_tile_cap is None
-                        and self._mg_coarse_cap is None) or regrows >= 8:
+                        and self._mg_coarse_cap is None
+                        and self._mg_composed_caps is None) or regrows >= 8:
                     raise RuntimeError(
                         f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
                         f" of {self.cfg.tile_capacity} tiles); raise "
@@ -772,12 +801,17 @@ class Simulation:
                         (max(fc, oc + 64), max(fp, op + 2))
                         for (fc, fp), (oc, op) in zip(fresh_mgb, new_mgb)
                     )
+                new_cmp = self._mg_composed_caps
+                if new_cmp is not None:
+                    fresh_cmp = self._choose_mg_composed_caps(grow=1.3) or new_cmp
+                    new_cmp = (max(fresh_cmp[0], new_cmp[0] + 64),
+                               max(fresh_cmp[1], new_cmp[1] + 2))
                 self.metrics.log(event="bin_regrow",
                                  old=list(old or ()), new=list(new_caps or ()),
                                  mg=list(new_mg or ()),
                                  bsr=new_bsr, mg_coarse=new_ccap)
                 self._rebuild_step(new_caps, new_mg, new_bsr, new_ccap,
-                                   new_mgb)
+                                   new_mgb, new_cmp)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))

@@ -66,6 +66,9 @@ class MGLevel:
     # incl. trailing dump row) of `tgrid`, and tile-row index == compacted
     # node id (sparse grid backend; component #25 composed with the MG)
     compact: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # composed-Galerkin data (ComposedLevel) on the first assembled level
+    # of a matrix-free-finest hierarchy; None elsewhere
+    comp: object = None
 
     def _replace(self, **kw) -> "MGLevel":
         return dataclasses.replace(self, **kw)
@@ -91,6 +94,22 @@ class MGLevel:
             return tile_transfer.make_tile_gather(self.bins, self.tgrid,
                                                   self.nbr)
         return transfer.make_binned_gather(self.bins, self.res)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ComposedLevel:
+    """Composed-stencil Galerkin data for the FIRST assembled level of a
+    matrix-free-finest hierarchy (ops.composed): the level's operator is
+    assembled as exact P^T A_0 P directly from particles + fine node
+    masses, with no explicit fine matrix."""
+
+    comp_w: jax.Array        # (n, dim, width) composed per-axis weights
+    comp_dw: jax.Array       # (n, dim, width) composed per-axis gradients
+    p_bins: object           # particle bins by composed ext cell key
+    n_bins: object           # fine-node bins by composed embed ext key
+    node_coords: jax.Array   # (nf, dim) int fine node coords
+    node_m: jax.Array        # (nf,) fine lumped masses
 
 
 @jax.tree_util.register_dataclass
@@ -137,6 +156,7 @@ def build_static(
     x, m, res, dx, n_levels: int, constrained, dtype, tile_capacity: int = 0,
     bin_caps=None, mg_tile_caps=None, mg_bin_caps=None,
     kernel: str = "quadratic", dense_switch=None, assembled_from: int = 0,
+    mg_composed_caps=None,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -258,27 +278,68 @@ def build_static(
                                               n_nodes)
         active = grid_m > 0
         free = jnp.logical_and(active, jnp.logical_not(cons))
-        tg_l = mat_l = free_rows_l = None
+        # composed-Galerkin first assembled level: wider structure holding
+        # the exact P^T A_0 P operator (ops.composed); only meaningful when
+        # the finest level stays matrix-free (assembled_from > 0)
+        composed_l = (assembled and mg_composed_caps is not None
+                      and assembled_from > 0 and l == assembled_from)
+        half_l = (4 if l >= 2 else 3) if composed_l else 2
+        tg_l = mat_l = free_rows_l = comp_l = None
         if compact_l:
             tg_l = tg
             if assembled and l >= assembled_from:
-                mat_l = bsr_tiled.structure_tiled(tg)
+                mat_l = bsr_tiled.structure_tiled(tg, half=half_l)
                 free_rows_l = free[:-1]             # rows == compacted ids
         elif assembled and l >= assembled_from:
             tg_l = sparse_mod.build_tile_grid(
                 x, cur_dx, cur_res, int(mg_tile_caps[l])
             )
-            mat_l = bsr_tiled.structure_tiled(tg_l)
+            mat_l = bsr_tiled.structure_tiled(tg_l, half=half_l)
             nbr_l = bsr_tiled.tile_neighbors(tg_l)
             valid = mat_l.node_of < n_nodes
             safe = jnp.minimum(mat_l.node_of, n_nodes - 1)
             free_rows_l = jnp.logical_and(free[safe], valid)
             overflow = jnp.logical_or(overflow, tg_l.overflow)
+        if composed_l and mat_l is not None:
+            from hot_tpu.ops import composed as comp_mod
+
+            cb, cw, cdw = comp_mod.composed_particle_weights(x, dx, l)
+            pc_cap, pp_cap = mg_composed_caps
+            p_bins = transfer.bin_by_ids(
+                comp_mod.ext_key(cb, cur_res), comp_mod.n_ext(cur_res),
+                int(pc_cap), int(pp_cap),
+            )
+            overflow = jnp.logical_or(overflow, p_bins.overflow)
+            lvl0 = levels[0]
+            if lvl0.compact:
+                nf = lvl0.tgrid.dump
+                node_coords = bsr_tiled.compact_node_coords(
+                    lvl0.tgrid, jnp.arange(nf, dtype=jnp.int32)
+                )
+                node_m = lvl0.grid_m[:-1]
+            else:
+                nf = transfer.n_nodes_of(lvl0.res)
+                node_coords = transfer.unravel(
+                    jnp.arange(nf, dtype=jnp.int32), lvl0.res
+                )
+                node_m = lvl0.grid_m
+            nb = node_coords
+            for _ in range(l):
+                nb = jnp.floor_divide(nb - 1, 2)
+            n_bins = transfer.bin_by_ids(
+                comp_mod.ext_key(nb, cur_res), comp_mod.n_ext(cur_res),
+                min(nf, comp_mod.n_ext(cur_res)), 2 ** (len(res) * l),
+                valid=node_m > 0,
+            )
+            overflow = jnp.logical_or(overflow, n_bins.overflow)
+            comp_l = ComposedLevel(comp_w=cw, comp_dw=cdw, p_bins=p_bins,
+                                   n_bins=n_bins, node_coords=node_coords,
+                                   node_m=node_m)
         levels.append(
             MGLevel(stencil=st, grid_m=grid_m, active=active, free=free,
                     dx=cur_dx, res=cur_res, bins=bins_l, tgrid=tg_l,
                     mat_sym=mat_l, nbr=nbr_l, free_rows=free_rows_l,
-                    compact=compact_l)
+                    compact=compact_l, comp=comp_l)
         )
         if l == n_levels - 1:
             break
@@ -475,6 +536,20 @@ def build_precond(
                         # fix exists to avoid
                         cap = int(cfg.coarse_capacity)
                     mat = spgemm.rap(prev_mat, level.res, level.active, cap)
+            elif galerkin and level.comp is not None:
+                # composed-stencil Galerkin (ops.composed): exact
+                # P^T A_0 P from particles + fine node masses — the first
+                # assembled level of a matrix-free-finest hierarchy (no
+                # explicit fine matrix exists to RAP from)
+                from hot_tpu.ops import composed as comp_mod
+
+                c = level.comp
+                mat = comp_mod.assemble_composed_galerkin(
+                    level.mat_sym, l, level.res, F_n, ctx, V0, dt,
+                    c.node_coords, c.node_m, c.p_bins, c.n_bins,
+                    c.comp_w, c.comp_dw,
+                    tgrid=(level.tgrid if level.compact else None),
+                )
             elif level.compact:
                 from hot_tpu.ops import bsr_tiled
 

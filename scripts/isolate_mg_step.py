@@ -37,12 +37,15 @@ def main():
     ap.add_argument("--mode", default="full")
     ap.add_argument("--max-newton", type=int, default=10)
     ap.add_argument("--max-cg", type=int, default=200)
+    ap.add_argument("--coarse", default="direct")
+    ap.add_argument("--coarsening", default="galerkin")
     args = ap.parse_args()
 
     scene = build_scene("twisting_bar_3d", res=args.res, ppc=8)
     cfg, state = scene["cfg"], scene["state"]
     mg = MultigridConfig(levels=args.levels, smoother="chebyshev",
-                         coarse_solver="direct", assembled=True)
+                         coarse_solver=args.coarse, assembled=True,
+                         coarsening=args.coarsening)
     sol = dataclasses.replace(cfg.solver, preconditioner="multigrid",
                               multigrid=mg, pallas_apply=False,
                               pallas_linearize=False,
@@ -62,8 +65,10 @@ def main():
         for i in range(4):
             t0 = time.perf_counter()
             stats = sim.step(float(dt))
+            ev = [r for r in sim.metrics.records if r.get("event")]
             print(f"[step {i + 2}] {time.perf_counter() - t0:.2f}s "
-                  f"newton={int(stats.newton_iters)} cg={int(stats.cg_iters)}",
+                  f"newton={int(stats.newton_iters)} cg={int(stats.cg_iters)} "
+                  f"events={[e['event'] for e in ev]}",
                   flush=True)
         return
 

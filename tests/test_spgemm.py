@@ -136,3 +136,72 @@ def test_rap_recursive_matches_dense():
     node_cc = np.asarray(A_cc.node_of)
     sel = np.repeat(node_cc * d, d) + np.tile(np.arange(d), node_cc.size)
     np.testing.assert_allclose(got, want_full[np.ix_(sel, sel)], atol=1e-9)
+
+
+def test_composed_galerkin_equals_rap(rng):
+    """ops.composed.assemble_composed_galerkin == spgemm.rap(assembled A0):
+    the composed-stencil construction produces EXACTLY P^T (M + dt^2 K) P
+    with no explicit fine matrix (the >=256^3 matrix-free-finest path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hot_tpu.models import constitutive as cm
+    from hot_tpu.ops import bsr, composed as comp_mod, spgemm, transfer
+
+    model = cm.FixedCorotated()
+    for dim, res_n, n in ((2, 16, 250), (3, 8, 120)):
+        res = (res_n,) * dim
+        dx = 1.0 / res_n
+        lo, hi = 2.5 * dx, (res_n - 3.5) * dx
+        x = jnp.asarray(rng.uniform(lo, hi, size=(n, dim)))
+        F = jnp.asarray(
+            np.eye(dim)[None] + 0.1 * rng.standard_normal((n, dim, dim))
+        )
+        V0 = jnp.asarray(rng.uniform(0.5, 1.5, (n,)))
+        mu = jnp.full((n,), 30.0)
+        lam = jnp.full((n,), 50.0)
+        m = jnp.asarray(rng.uniform(0.5, 2.0, (n,)))
+        dt = 1e-2
+        ctx = jax.vmap(lambda f, m_, l_: cm.hessian_context(model, f, m_, l_))(
+            F, mu, lam
+        )
+
+        # explicit fine operator + algebraic RAP (the reference path)
+        n_nodes = transfer.n_nodes_of(res)
+        st = transfer.particle_stencil(x, dx, res)
+        grid_m = transfer.scatter_sum(st.node_ids, st.wn * m[:, None], n_nodes)
+        A0 = bsr.structure(jnp.ones((n_nodes,), bool), res, n_nodes)
+        A0 = bsr.assemble_hessian(A0, st, F, ctx, V0, dt, grid_m)
+        cres = tuple(r // 2 for r in res)
+        n_c = transfer.n_nodes_of(cres)
+        A1_rap = spgemm.rap(A0, cres, jnp.ones((n_c,), bool), n_c)
+
+        # composed construction (no fine matrix)
+        cb, cw, cdw = comp_mod.composed_particle_weights(x, dx, 1)
+        caps = comp_mod.composed_bin_caps_host(x, dx, 1, cres, dim)
+        p_bins = transfer.bin_by_ids(
+            comp_mod.ext_key(cb, cres), comp_mod.n_ext(cres), *caps
+        )
+        assert not bool(p_bins.overflow)
+        node_coords = transfer.unravel(
+            jnp.arange(n_nodes, dtype=jnp.int32), res
+        )
+        nb = jnp.floor_divide(node_coords - 1, 2)
+        n_bins = transfer.bin_by_ids(
+            comp_mod.ext_key(nb, cres), comp_mod.n_ext(cres),
+            min(n_nodes, comp_mod.n_ext(cres)), 2**dim,
+            valid=grid_m > 0,
+        )
+        assert not bool(n_bins.overflow)
+        A1_c = bsr.structure(jnp.ones((n_c,), bool), res=cres,
+                             capacity=n_c, half=3)
+        A1_c = comp_mod.assemble_composed_galerkin(
+            A1_c, 1, cres, F, ctx, V0, dt, node_coords, grid_m,
+            p_bins, n_bins, cw, cdw,
+        )
+        # both structures index rows by coarse node id (active = all)
+        np.testing.assert_allclose(
+            np.asarray(A1_c.vals), np.asarray(A1_rap.vals),
+            rtol=1e-6, atol=1e-9,
+        )
