@@ -96,51 +96,70 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
     coords = transfer.unravel(jnp.minimum(A.node_of, n_nodes_f - 1), A.res)
     valid_row = A.node_of < n_nodes_f
 
-    offs_f = bsr_mod._offsets(dim, h)                 # (Kf, dim)
     emb_offs = stencil_offsets(dim)                   # (3^dim, dim)
     s_emb = emb_offs.shape[0]
 
     # ---- step 1: W = A P  (fine rows x coarse window) --------------------
-    # base_i of any neighbor lies within ceil(h/2) of base_j per axis
+    # PARITY-STATIC formulation: for integer global coord g, the embedding
+    # base shift floor((g+off-1)/2) - floor((g-1)/2) and the embedding
+    # weights (u = 1 -> [1/8, 3/4, 1/8]; u = 1/2 -> [1/2, 1/2, 0]) depend
+    # only on the PARITY of g per axis. So A P collapses to 2^dim
+    # class-masked (Kf -> KW) contractions (MXU matmuls) — the earlier
+    # scatter-add formulation COLLIDES within rows, which XLA:TPU
+    # serializes (the 0.25 s/apply disease; this rap's per-Newton cost was
+    # the prime suspect for the mg step blowing the device execution
+    # deadline, step-duration-correlated UNAVAILABLE faults, 2026-08-21).
     wm = (h + 1) // 2                                 # window margin
     W1d = 2 * wm + 3
     KW = W1d**dim
     # embeds of row node j: embedding runs in GLOBAL coords, results are
     # shifted back to the local coarse frame
-    base_j, w_j = embedding_weights(coords + f_org[None, :], dtype)
+    g = coords + f_org[None, :]
+    base_j, w_j = embedding_weights(g, dtype)
     base_j = base_j - c_org[None, :]
-    win_base = base_j - wm
+
+    import numpy as _np
+
+    def _ax_pattern():
+        """(2, 2h+1, W1d) numpy: per (parity, axis offset) the 3 embedding
+        weights placed at their window positions."""
+        pat = _np.zeros((2, 2 * h + 1, W1d))
+        wtab = {0: _np.array([0.125, 0.75, 0.125]),   # g even: u = 1
+                1: _np.array([0.5, 0.5, 0.0])}        # g odd:  u = 1/2
+        for par in (0, 1):
+            eb0 = (par - 1) >> 1
+            for oi, off in enumerate(range(-h, h + 1)):
+                gi_par = (par + off) & 1
+                delta = ((par + off - 1) >> 1) - eb0
+                for e in range(3):
+                    pat[par, oi, delta + wm + e] += wtab[gi_par][e]
+        return pat
+
+    pat_ax = _ax_pattern()
+    # tensorize to (2^dim, Kf, KW): class bits are row-major over axes
+    PAT = _np.ones((1, 1, 1))
+    for a in range(dim):
+        n_cls, kf_c, kw_c = PAT.shape
+        PAT = _np.einsum("ckw,pov->cpkowv", PAT, pat_ax).reshape(
+            n_cls * 2, kf_c * (2 * h + 1), kw_c * W1d
+        )
+    PAT_j = jnp.asarray(PAT, dtype)                   # (2^dim, Kf, KW)
+
+    cls = jnp.zeros((A.n_rows,), jnp.int32)
+    for a in range(dim):
+        cls = cls * 2 + (g[:, a] & 1)
 
     R_rows = A.n_rows
-    # chunk Kf so the (R, kfc, 3^d, dd) product stays under budget
-    itemsize = jnp.dtype(dtype).itemsize
-    kfc = max(1, min(Kf, mem_budget // max(R_rows * s_emb * dd * itemsize, 1)))
-    W = jnp.zeros((R_rows * KW + 1, dd), dtype)
-    for k0 in range(0, Kf, kfc):
-        k1 = min(k0 + kfc, Kf)
-        ncoords = coords[:, None, :] + offs_f[None, k0:k1, :]   # (R, kc, dim)
-        base_i, w_i = jax.vmap(
-            lambda c: embedding_weights(c + f_org[None, :], dtype),
-            in_axes=1, out_axes=1,
-        )(ncoords)                                              # (R, kc, ...)
-        base_i = base_i - c_org[None, None, :]
-        widx_coord = (
-            base_i[:, :, None, :] + emb_offs[None, None, :, :]
-            - win_base[:, None, None, :]
-        )                                                       # (R, kc, 3^d, dim)
-        in_win = jnp.all((widx_coord >= 0) & (widx_coord < W1d), axis=-1)
-        widx = jnp.zeros(widx_coord.shape[:-1], jnp.int32)
-        for a in range(dim):
-            widx = widx * W1d + jnp.clip(widx_coord[..., a], 0, W1d - 1)
-        present = ((A.col_row[:, k0:k1] >= 0)[:, :, None] & in_win
-                   & valid_row[:, None, None])
-        contrib = (A.vals[:, k0:k1, None, :, :]
-                   * w_i[:, :, :, None, None])                  # (R, kc, 3^d, d, d)
-        contrib = jnp.where(present[..., None, None], contrib, 0.0)
-        flat = (jnp.arange(R_rows)[:, None, None] * KW + widx).reshape(-1)
-        flat = jnp.where(present.reshape(-1), flat, R_rows * KW)
-        W = W.at[flat].add(contrib.reshape(-1, dd))
-    W = W[:-1].reshape(R_rows, KW, dim, dim)
+    ok_vals = jnp.where(
+        ((A.col_row >= 0) & valid_row[:, None])[:, :, None],
+        A.vals.reshape(R_rows, Kf, dd), 0.0,
+    )
+    W = jnp.zeros((R_rows, KW, dd), dtype)
+    for p in range(2 ** dim):
+        sel = (cls == p).astype(dtype)[:, None, None]
+        W = W + jnp.einsum("rkc,kw->rwc", ok_vals * sel, PAT_j[p],
+                           precision=jax.lax.Precision.HIGHEST)
+    W = W.reshape(R_rows, KW, dim, dim)
 
     # ---- step 2: A_c = P^T W (scatter into the coarse stencil) -----------
     h_c = rap_half_out(h)
@@ -169,24 +188,38 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         Jc_row = jnp.where(Jc_ok, A_c.row_of[Jc_node], -1)      # (R, 3^d)
     Kc = A_c.K
 
-    offs_w = bsr_mod._offsets(dim, wm + 1)                      # window offsets
-    out = jnp.zeros((A_c.n_rows * Kc + 1, dd), dtype)
-    # chunk the embedding axis of j so (R, KW, dd) stays under budget
+    # P^T scatter, parity-class extended rows: for a FIXED embedding offset
+    # e0, two distinct fine rows collide on a coarse row only when they
+    # share the embedding base — impossible within one parity class — so
+    # (class, Jc_row) pairs are UNIQUE per e0: 3^dim unique scatters total
+    # (the per-(row, window) colliding form serialized on XLA:TPU).
+    # The source window column per output offset kc is STATIC per e0:
+    # kw = rel(kc) + wm + e0 (out-of-window -> the zero pad column).
+    offs_c_np = _np.stack(
+        _np.meshgrid(*([_np.arange(-h_c, h_c + 1)] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    e0_np = _np.stack(
+        _np.meshgrid(*([_np.arange(3)] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    Wp = jnp.concatenate(
+        [W.reshape(R_rows, KW, dd), jnp.zeros((R_rows, 1, dd), dtype)], axis=1
+    )
+    n_out = A_c.n_rows
+    n_cls = 2 ** dim
+    buf = jnp.zeros((n_cls * n_out + R_rows + 1, Kc * dd), dtype)
+    dump_rows = n_cls * n_out + jnp.arange(R_rows, dtype=jnp.int32)
     for e0 in range(s_emb):
-        Jc_e = Jc_coord[:, e0, :]                               # (R, dim)
-        Ic_coord = (win_base + wm + 1)[:, None, :] + offs_w[None, :, :]
-        rel = Ic_coord - Jc_e[:, None, :]                       # (R, KW, dim)
-        rel_ok = jnp.all(jnp.abs(rel) <= h_c, axis=-1)
-        oid = jnp.zeros(rel.shape[:-1], jnp.int32)
+        kwc = offs_c_np + wm + e0_np[e0][None, :]               # (Kc, dim)
+        okk = _np.all((kwc >= 0) & (kwc < W1d), axis=-1)
+        kw_flat = _np.zeros(len(offs_c_np), _np.int64)
         for a in range(dim):
-            oid = oid * (2 * h_c + 1) + jnp.clip(rel[..., a] + h_c, 0, 2 * h_c)
-        ok = (Jc_ok[:, e0, None] & rel_ok & (Jc_row[:, e0] >= 0)[:, None]
-              & valid_row[:, None])
-        flat2 = jnp.where(ok, Jc_row[:, e0, None] * Kc + oid,
-                          A_c.n_rows * Kc).reshape(-1)
-        vals2 = w_j[:, e0, None, None, None] * W
-        vals2 = jnp.where(ok[..., None, None], vals2, 0.0).reshape(-1, dd)
-        out = out.at[flat2].add(vals2)
-    out = out[:-1].reshape(A_c.n_rows, Kc, dim, dim)
+            kw_flat = kw_flat * W1d + _np.clip(kwc[:, a], 0, W1d - 1)
+        kw_flat = _np.where(okk, kw_flat, KW)
+        Y = Wp[:, jnp.asarray(kw_flat, jnp.int32)]              # (R, Kc, dd)
+        Y = (w_j[:, e0, None, None] * Y).reshape(R_rows, Kc * dd)
+        ok_r = valid_row & (Jc_row[:, e0] >= 0)
+        rows = jnp.where(ok_r, cls * n_out + Jc_row[:, e0], dump_rows)
+        buf = buf.at[rows].add(Y, unique_indices=True)
+    out = buf[: n_cls * n_out].reshape(n_cls, n_out, Kc, dim, dim).sum(0)
     out = jnp.where((A_c.col_row >= 0)[:, :, None, None], out, 0.0)
     return A_c._replace(vals=out)
