@@ -103,14 +103,39 @@ def main(argv=None):
         fh.write(cfg.to_json())
 
     metrics = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"), echo=not args.quiet)
-    sim = Simulation(
-        cfg, scene["state"], scene["model"], scene["colliders"],
-        plasticity=scene["plasticity"], metrics=metrics,
-    )
+
+    # Multi-device launch (SURVEY.md §5.8): any mesh.shape other than the
+    # single-device default routes through jax.distributed + the fully
+    # sharded migrating step, e.g.
+    #   python -m hot_tpu --scene twisting_bar_3d --set mesh.shape="(-1,)"
+    # On a multi-host slice each process runs this same command;
+    # distributed.initialize() auto-detects the coordinator.
+    use_mesh = tuple(cfg.mesh.shape) != (1,)
+    if use_mesh:
+        from hot_tpu.parallel import distributed
+        from hot_tpu.parallel.sharded_step import ShardedSimulation
+
+        distributed.initialize()
+        mesh = distributed.mesh_from_config(cfg.mesh)
+        sim = ShardedSimulation(
+            mesh, cfg, scene["state"], scene["model"], scene["colliders"],
+            plasticity=scene["plasticity"],
+        )
+        if jax.process_index() == 0 and not args.quiet:
+            print(f"mesh {dict(zip(cfg.mesh.axes, mesh.devices.shape))} "
+                  f"over {mesh.devices.size} devices")
+    else:
+        sim = Simulation(
+            cfg, scene["state"], scene["model"], scene["colliders"],
+            plasticity=scene["plasticity"], metrics=metrics,
+        )
 
     start_frame = 0
     if args.resume:
-        sim.state, sim.t, sim.step_count = load_checkpoint(args.resume)
+        if use_mesh:
+            sim.restore(args.resume)     # sharded checkpoint directory
+        else:
+            sim.state, sim.t, sim.step_count = load_checkpoint(args.resume)
         start_frame = int(sim.t / cfg.frame_dt + 0.5)
         print(f"resumed from {args.resume} at t={sim.t:.4f} (frame {start_frame})")
 
@@ -123,15 +148,21 @@ def main(argv=None):
     for frame in range(start_frame, args.frames):
         t0 = time.perf_counter()
         sim.advance_frame()
-        save_frame(
-            os.path.join(out_dir, f"frame_{frame:05d}.{args.frame_format}"),
-            sim.state,
-        )
-        if (frame + 1) % args.checkpoint_every == 0:
-            save_checkpoint(
-                os.path.join(out_dir, f"ckpt_{frame:05d}.npz"),
-                sim.state, sim.t, sim.step_count,
+        io_proc = not use_mesh or jax.process_index() == 0
+        if io_proc:
+            save_frame(
+                os.path.join(out_dir, f"frame_{frame:05d}.{args.frame_format}"),
+                sim.state,
             )
+        if (frame + 1) % args.checkpoint_every == 0:
+            if use_mesh:
+                # every process writes its own shard (checkpoint_spec)
+                sim.save_checkpoint(os.path.join(out_dir, f"ckpt_{frame:05d}"))
+            else:
+                save_checkpoint(
+                    os.path.join(out_dir, f"ckpt_{frame:05d}.npz"),
+                    sim.state, sim.t, sim.step_count,
+                )
         if not args.quiet:
             print(
                 f"frame {frame}: t={sim.t:.4f} steps={sim.step_count} "
@@ -141,8 +172,9 @@ def main(argv=None):
         if args.max_steps and sim.step_count >= args.max_steps:
             break
 
-    with open(os.path.join(out_dir, "timers.txt"), "w") as fh:
-        fh.write(sim.timer.report())
+    if not use_mesh:
+        with open(os.path.join(out_dir, "timers.txt"), "w") as fh:
+            fh.write(sim.timer.report())
     metrics.close()
     return 0
 

@@ -102,19 +102,36 @@ def mesh_from_config(mcfg: MeshConfig) -> Mesh:
                 axis_names=tuple(mcfg.axes))
 
 
+def checkpoint_spec(mesh: Mesh, axis: str = "x"):
+    """Per-host shard layout for multi-host checkpointing (§5.4).
+
+    Returns (local_rows, n_rows): the mesh-`axis` block-row indices owned
+    by THIS process (in mesh order) and the total row count D. The
+    migrating sharded step keeps particles in a persistent (D, n_max)
+    block layout, so "each host saves its shard" (SURVEY.md §5.4) means:
+    each process dumps exactly the block rows of its local devices; restore
+    re-places every row on its device. See
+    hot_tpu.parallel.sharded_step.save_sharded_checkpoint /
+    load_sharded_checkpoint for the IO half, and
+    ShardedSimulation.save_checkpoint / restore for the driver API.
+    """
+    devs = list(mesh.devices.reshape(-1))
+    rows = tuple(
+        i for i, d in enumerate(devs)
+        if d.process_index == jax.process_index()
+    )
+    return rows, len(devs)
+
+
 def local_slab_bounds(mesh: Mesh, cfg, axis: str = "x"):
-    """(lo_plane, hi_plane) of THIS process's owned grid planes — the
-    per-host shard layout for multi-host checkpointing (§5.4): each host
-    saves the particles whose base plane falls in its device slabs."""
+    """(lo_plane, hi_plane) of THIS process's owned grid planes — which
+    region of the grid this host's devices own under the slab partition
+    (diagnostics; the particle checkpoint shards by block row instead,
+    see checkpoint_spec)."""
     D = mesh.shape[axis]
     res0 = cfg.grid_res[0]
     planes = res0 // D
-    local = [d for d in mesh.devices.reshape(-1)
-             if d.process_index == jax.process_index()]
-    ids = sorted(
-        i for i, d in enumerate(mesh.devices.reshape(-1))
-        if d.process_index == jax.process_index()
-    )
+    ids, _ = checkpoint_spec(mesh, axis)
     if not ids:
         return (0, 0)
     return (ids[0] * planes, (ids[-1] + 1) * planes)

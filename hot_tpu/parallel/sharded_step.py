@@ -375,6 +375,21 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
                 grid_overflow = jax.lax.psum(
                     smg.overflow.astype(jnp.int32), axis
                 ) > 0
+            if (sol.multigrid.coarse_solver == "direct"
+                    and sol.multigrid.coarse_capacity):
+                # active coarse rows beyond coarse_capacity are dropped by
+                # the agglomerated factor (zero coarse correction there) —
+                # surface it instead of silently degrading MG convergence.
+                # grid_m holds owned planes only, so the global active
+                # count is the psum of local counts.
+                n_act_c = jax.lax.psum(
+                    jnp.sum((smg.levels[-1].grid_m > 0).astype(jnp.int32)),
+                    axis,
+                )
+                grid_overflow = jnp.logical_or(
+                    grid_overflow,
+                    n_act_c > sol.multigrid.coarse_capacity,
+                )
 
             def build_preconditioner(ctx):
                 return smg_mod.build_precond(
@@ -739,6 +754,7 @@ class ShardedSimulation:
                 f"n_max={n_max} too small for the initial particle layout"
             )
         self.t = 0.0
+        self.step_count = 0
         self.repartitions = 0
 
     def step(self, dt: float) -> MigratingStepStats:
@@ -782,3 +798,128 @@ class ShardedSimulation:
     def state(self) -> ParticleState:
         """Flat particle state in ORIGINAL particle order (IO/comparison)."""
         return gather_with_ids(self.blocks, self.ids, self.n)
+
+    def compute_dt(self) -> float:
+        """CFL-rate dt over the global particle set (mirrors
+        Simulation.compute_dt; pad slots have zero velocity)."""
+        cfg = self.cfg
+        vmax = float(jnp.max(jnp.linalg.norm(
+            self.blocks.v.reshape(-1, cfg.dim), axis=-1)))
+        g = float(jnp.linalg.norm(jnp.asarray(cfg.gravity[: cfg.dim])))
+        vmax = vmax + g * cfg.max_dt
+        dt_cfl = cfg.cfl * cfg.dx / max(vmax, 1e-6)
+        return float(min(cfg.max_dt, max(cfg.min_dt, dt_cfl)))
+
+    def advance_frame(self) -> None:
+        """Advance one output frame of duration cfg.frame_dt."""
+        t_end = self.t + self.cfg.frame_dt
+        while self.t < t_end - 1e-12:
+            dt = min(self.compute_dt(), t_end - self.t)
+            self.step(dt)
+            self.step_count += 1
+
+    def save_checkpoint(self, dirpath: str) -> None:
+        save_sharded_checkpoint(
+            dirpath, self.blocks, self.ids, self.t, self.step_count,
+            self.mesh, axis=self.axis,
+        )
+
+    def restore(self, dirpath: str) -> None:
+        """Restore blocks/ids/t from a sharded checkpoint directory
+        (written for the same mesh shape and n_max)."""
+        blocks, ids, t, step_count = load_sharded_checkpoint(
+            dirpath, self.mesh, axis=self.axis
+        )
+        assert ids.shape == self.ids.shape, (ids.shape, self.ids.shape)
+        self.blocks, self.ids = blocks, ids
+        self.t, self.step_count = t, step_count
+
+
+# ---------------------------------------------------------------------------
+# multi-host checkpoint/restore (SURVEY.md §5.4; VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+#
+# Layout contract (parallel.distributed.checkpoint_spec): each process
+# saves exactly the (D, n_max) block rows of its LOCAL devices to its own
+# shard_pXXXX.npz — no cross-host gathers. Restore reads every shard file,
+# reassembles the (D, n_max) arrays, and device_puts them into the mesh
+# sharding. Grid state is derived, exactly as the reference's
+# writeState/readState dumps only particle attributes (components #4/#22).
+
+
+def save_sharded_checkpoint(dirpath: str, blocks: ParticleState, ids,
+                            t: float, step_count: int, mesh: Mesh,
+                            axis: str = "x") -> None:
+    import dataclasses
+    import os
+
+    import numpy as np
+
+    from hot_tpu.parallel.distributed import checkpoint_spec
+
+    rows, n_rows = checkpoint_spec(mesh, axis)
+    os.makedirs(dirpath, exist_ok=True)
+
+    def local_rows(arr):
+        # fetch only this process's block rows via addressable shards
+        # (np.asarray of the whole array would fail multi-host)
+        got = {}
+        for sh in arr.addressable_shards:
+            r0 = sh.index[0].start or 0
+            data = np.asarray(sh.data)
+            for i in range(data.shape[0]):
+                got[r0 + i] = data[i]
+        return np.stack([got[r] for r in rows])
+
+    payload = {
+        f.name: local_rows(getattr(blocks, f.name))
+        for f in dataclasses.fields(blocks)
+    }
+    payload["__ids"] = local_rows(ids)
+    np.savez_compressed(
+        os.path.join(dirpath, f"shard_p{jax.process_index():04d}.npz"),
+        __rows=np.asarray(rows, np.int64), __n_rows=n_rows,
+        __t=t, __step_count=step_count, **payload,
+    )
+
+
+def load_sharded_checkpoint(dirpath: str, mesh: Mesh, axis: str = "x"):
+    """Reassemble (blocks, ids, t, step_count) from every process's shard
+    file and place them into the mesh sharding. All shard files must be
+    visible to every process (shared filesystem, the standard multi-host
+    checkpoint arrangement)."""
+    import dataclasses
+    import glob
+    import os
+
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    files = sorted(glob.glob(os.path.join(dirpath, "shard_p*.npz")))
+    assert files, f"no shard files in {dirpath}"
+    field_names = [f.name for f in dataclasses.fields(ParticleState)]
+    full = {name: {} for name in field_names + ["__ids"]}
+    t = step_count = n_rows = None
+    for path in files:
+        data = np.load(path)
+        rows = data["__rows"]
+        n_rows = int(data["__n_rows"])
+        t, step_count = float(data["__t"]), int(data["__step_count"])
+        for name in field_names + ["__ids"]:
+            arr = data[name]
+            for i, r in enumerate(rows):
+                full[name][int(r)] = arr[i]
+    assert all(len(v) == n_rows for v in full.values()), (
+        f"missing shard rows: have {[len(v) for v in full.values()]} of {n_rows}"
+    )
+
+    def assemble(name):
+        return np.stack([full[name][r] for r in range(n_rows)])
+
+    sharding = NamedSharding(mesh, P(axis))
+    blocks = ParticleState(**{
+        name: jax.device_put(jnp.asarray(assemble(name)), sharding)
+        for name in field_names
+    })
+    ids = jax.device_put(jnp.asarray(assemble("__ids")), sharding)
+    return blocks, ids, t, step_count

@@ -358,3 +358,107 @@ def test_overlap_halo_matches():
         results[ov] = (np.asarray(state.x), tot)
     assert results[True][1] == results[False][1]
     np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-11)
+
+
+def test_migration_tight_cap_soak():
+    """Tight-capacity migration soak (VERDICT r2 #9): with migrate_cap
+    sized near the actual per-step crossing rate (not n/2), a drifting
+    scene runs 60 steps with ZERO global repartitions and conserves every
+    particle id; the trajectory is bit-identical to a generous-cap run
+    (capacity only changes buffer sizes, never values)."""
+    from hot_tpu.parallel.sharded_step import ShardedSimulation
+
+    scene = build_scene("block_drop_2d", res=16, dtype=jnp.float64)
+    state = scene["state"].replace(
+        v=scene["state"].v + jnp.asarray([0.3, 0.0])[None, :]
+    )
+    cfg = scene["cfg"]
+    mesh = make_mesh((4,), ("x",))
+    n = state.n
+    # crossing-rate cap: particles drift ~v*dt per step; only the boundary
+    # sliver crosses. Empirically < n//16 per step here; cap at n//12.
+    runs = {}
+    for name, cap in (("tight", max(8, n // 12)), ("generous", n // 2)):
+        ssim = ShardedSimulation(
+            mesh, cfg, state, scene["model"], scene["colliders"],
+            n_max=n, migrate_cap=cap,
+        )
+        for _ in range(60):
+            stats = ssim.step(4e-3)
+            assert bool(stats.converged)
+        assert ssim.repartitions == 0, (name, cap)
+        ids = np.asarray(ssim.ids).reshape(-1)
+        ids = ids[ids >= 0]
+        assert len(ids) == n and len(np.unique(ids)) == n, name
+        runs[name] = jax.tree_util.tree_map(np.asarray, ssim.state)
+    np.testing.assert_array_equal(runs["tight"].x, runs["generous"].x)
+    np.testing.assert_array_equal(runs["tight"].F, runs["generous"].F)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Multi-host checkpoint contract (SURVEY.md §5.4, VERDICT r2 #8):
+    save per-process shards mid-run, restore into a FRESH ShardedSimulation,
+    and continue — the resumed trajectory equals the uninterrupted one
+    exactly (the checkpoint carries the full particle SoA; grid state is
+    derived, as in the reference's writeState/readState)."""
+    from hot_tpu.parallel.distributed import checkpoint_spec
+    from hot_tpu.parallel.sharded_step import ShardedSimulation
+
+    scene = build_scene("block_drop_2d", res=16, dtype=jnp.float64)
+    cfg = scene["cfg"]
+    mesh = make_mesh((4,), ("x",))
+    rows, n_rows = checkpoint_spec(mesh)
+    assert n_rows == 4 and tuple(rows) == (0, 1, 2, 3)  # single process owns all
+
+    def new_sim():
+        return ShardedSimulation(
+            mesh, cfg, scene["state"], scene["model"], scene["colliders"],
+            n_max=scene["state"].n, migrate_cap=scene["state"].n // 2,
+        )
+
+    ref = new_sim()
+    for _ in range(20):
+        ref.step(4e-3)
+
+    a = new_sim()
+    for _ in range(10):
+        a.step(4e-3)
+    ckpt = str(tmp_path / "ckpt")
+    a.save_checkpoint(ckpt)
+
+    b = new_sim()
+    b.restore(ckpt)
+    assert b.t == a.t
+    for _ in range(10):
+        b.step(4e-3)
+
+    out = jax.tree_util.tree_map(np.asarray, b.state)
+    exp = jax.tree_util.tree_map(np.asarray, ref.state)
+    np.testing.assert_array_equal(out.x, exp.x)
+    np.testing.assert_array_equal(out.v, exp.v)
+    np.testing.assert_array_equal(out.F, exp.F)
+
+
+def test_cli_mesh_launch(tmp_path):
+    """CLI multi-device path (VERDICT r2 #8): `--set mesh.shape="(-1,)"`
+    routes through distributed.initialize + mesh_from_config +
+    ShardedSimulation, writes frames and per-process checkpoint shards."""
+    import os
+
+    from hot_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    rc = main([
+        "--scene", "block_drop_2d", "--frames", "1",
+        "-o", out, "--quiet",
+        "--set", "mesh.shape=(-1,)",
+        "--set", "frame_dt=0.008",
+        "--set", "max_dt=0.004",
+        "--scene-arg", "res=16",
+        "--frame-format", "npz",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "frame_00000.npz"))
+    assert os.path.exists(
+        os.path.join(out, "ckpt_00000", "shard_p0000.npz")
+    )
