@@ -772,13 +772,62 @@ def chebyshev_smooth(mul, proj, Dinv, lmax, b, x, order: int,
     return x
 
 
+def colored_gs_smooth(mul, proj, Dinv, color, n_colors: int, b, x,
+                      iters: int):
+    """Multicolor Gauss-Seidel sweep (reference: the colored-GS smoother
+    option of component #36; HOT's OpenMP code colors nodes so threads
+    never race — on TPU coloring instead SEQUENCES the update so later
+    colors see earlier colors' fresh values).
+
+    Nodes are colored by coordinate parity (2^dim colors). The quadratic
+    stencil couples same-color nodes at per-axis distance 2, so those few
+    couplings update Jacobi-style within a color — the standard wide-
+    stencil compromise (exact GS would need 3^dim colors = 3^dim operator
+    applications per sweep). Each iteration is a SYMMETRIC sweep (forward
+    then reverse color order, SSOR-style) so the smoother — and hence the
+    V-cycle — stays symmetric, which PCG requires of its preconditioner.
+    One iteration costs 2*n_colors applications of the level operator.
+    """
+    order = list(range(n_colors)) + list(range(n_colors - 1, -1, -1))
+
+    def body(_, x):
+        for c in order:                    # static unroll
+            r = proj(b - mul(x))
+            m = (color == c).astype(x.dtype)[:, None]
+            x = x + m * _bapply(Dinv, r)
+        return x
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def _parity_colors(node_of, res: Tuple[int, ...]):
+    """(n_rows,) int32 parity color of each vector entry: sum over axes of
+    (coord_k & 1) << k. node_of=None means dense layout (entry i = node i).
+    Out-of-range rows (assembled-layout padding) get color 0 — they are
+    masked by proj anyway."""
+    n_nodes = transfer.n_nodes_of(res)
+    if node_of is None:
+        ids = jnp.arange(n_nodes, dtype=jnp.int32)
+    else:
+        ids = jnp.clip(node_of, 0, n_nodes - 1)
+    coords = transfer.unravel(ids, res)
+    dim = len(res)
+    color = jnp.zeros(ids.shape, jnp.int32)
+    for k in range(dim):
+        color = color | ((coords[:, k] & 1) << k)
+    return color
+
+
 def _smooth_ops(mul, proj, pre: MGPrecond, l: int, cfg: MultigridConfig,
-                b, x, iters: int):
+                b, x, iters: int, color=None, n_colors: int = 0):
     if cfg.smoother == "chebyshev":
         return chebyshev_smooth(
             mul, proj, pre.diag_inv[l], pre.lmax[l], b, x,
             max(iters * cfg.chebyshev_order, 1), cfg.chebyshev_lo, cfg.chebyshev_hi,
         )
+    if cfg.smoother == "colored_gs":
+        return colored_gs_smooth(mul, proj, pre.diag_inv[l], color, n_colors,
+                                 b, x, iters)
     return jacobi_smooth(mul, proj, pre.diag_inv[l], b, x, iters,
                          cfg.jacobi_omega)
 
@@ -789,13 +838,34 @@ def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfi
     layout ONCE per smooth call, run the whole polynomial in rows against
     the supertile SpMV, and convert back."""
     mat = _mat_of(pre, l)
+    n_colors = 2 ** len(level.res)
     if mat is None:
+        color = None
+        if cfg.smoother == "colored_gs":
+            if level.compact:
+                # compacted node coords from tile positions (incl. dump row)
+                from hot_tpu.grid import sparse as sparse_mod
+
+                pos = sparse_mod.node_positions(level.tgrid, 1.0, jnp.float32)
+                coords = jnp.clip(
+                    pos.astype(jnp.int32), 0,
+                    jnp.asarray(level.res, jnp.int32) - 1,
+                )
+                color = jnp.zeros((coords.shape[0],), jnp.int32)
+                for k in range(len(level.res)):
+                    color = color | ((coords[:, k] & 1) << k)
+            else:
+                color = _parity_colors(None, level.res)
         mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
-        return _smooth_ops(mul, proj, pre, l, cfg, b, x, iters)
+        return _smooth_ops(mul, proj, pre, l, cfg, b, x, iters,
+                           color=color, n_colors=n_colors)
     mul, proj = _level_ops_rows(level, mat)
     b_r = _to_rows(level, mat, b)
     x_r = _to_rows(level, mat, x)
-    x_r = _smooth_ops(mul, proj, pre, l, cfg, b_r, x_r, iters)
+    color = (_parity_colors(mat.node_of, level.res)
+             if cfg.smoother == "colored_gs" else None)
+    x_r = _smooth_ops(mul, proj, pre, l, cfg, b_r, x_r, iters,
+                      color=color, n_colors=n_colors)
     return _from_rows(level, mat, x_r)
 
 

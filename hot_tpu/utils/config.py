@@ -27,7 +27,9 @@ class MultigridConfig:
     cycles: int = 1                 # V-cycles per preconditioner application
     pre_smooth: int = 2             # nu_1
     post_smooth: int = 2            # nu_2
-    smoother: str = "chebyshev"     # chebyshev | jacobi | scaled_jacobi
+    # chebyshev | jacobi | colored_gs (parity-colored Gauss-Seidel, the
+    # reference's colored-GS option — see solver.multigrid.colored_gs_smooth)
+    smoother: str = "chebyshev"
     chebyshev_order: int = 2        # polynomial degree per smooth call
     jacobi_omega: float = 2.0 / 3.0
     # smoother | cg | direct (dense Cholesky of the agglomerated coarsest
@@ -58,7 +60,8 @@ class MultigridConfig:
     # >=256^3 the finest-level explicit BSR is ~8.7 GB (1.9M rows x 125
     # offsets x 9 x fp32) — does not fit a 16 GB chip; set 1 so only the
     # coarser levels assemble. With coarsening='galerkin' the FIRST
-    # assembled level is quadrature-built (it has no explicit parent);
+    # assembled level is built by the composed-stencil EXACT Galerkin path
+    # (ops.composed, auto-enabled via Simulation._choose_mg_composed_caps);
     # deeper levels RAP from it.
     assembled_from_level: int = 0
     # Static row capacity of the dense coarse factor (coarse_solver =

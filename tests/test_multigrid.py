@@ -387,3 +387,27 @@ def test_galerkin_hierarchy_consistency_and_contraction():
         project=prj, tol=1e-3, max_iters=800)
     assert int(out_mg.iters) < int(out_j.iters), (
         int(out_mg.iters), int(out_j.iters))
+
+
+def test_colored_gs_smoother():
+    """smoother='colored_gs' (reference component #36's colored-GS knob):
+    the palindromic parity-colored GS sweep is a symmetric smoother, so
+    MG-PCG with it converges at matched tolerance in the same ballpark as
+    the Chebyshev-smoothed cycle, and far below Jacobi-PCG."""
+    from hot_tpu.solver.cg import cg_solve
+
+    mult, project, prec_cheb, prec_jac, b, make_prec = _linear_system(48)
+    prec_gs = make_prec(smoother="colored_gs", pre_smooth=1, post_smooth=1)
+    r_gs = cg_solve(mult, b, precondition=prec_gs, project=project,
+                    tol=1e-8, max_iters=3000)
+    r_cheb = cg_solve(mult, b, precondition=prec_cheb, project=project,
+                      tol=1e-8, max_iters=3000)
+    r_jac = cg_solve(mult, b, precondition=prec_jac, project=project,
+                     tol=1e-8, max_iters=3000)
+    assert bool(r_gs.converged)
+    assert int(r_gs.iters) <= 2 * int(r_cheb.iters), (
+        int(r_gs.iters), int(r_cheb.iters),
+    )
+    assert 2 * int(r_gs.iters) <= int(r_jac.iters), (
+        int(r_gs.iters), int(r_jac.iters),
+    )
