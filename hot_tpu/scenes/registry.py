@@ -144,10 +144,11 @@ def faceless_3d(res: int = 128, ppc: int = 8, E: float = 5e5, dtype=jnp.float32)
     """Config 5 (BASELINE.json:11)-class scene: soft character drop.
 
     The reference's "faceless" scene samples a character mesh (OBJ/VDB,
-    component #17). We ship no mesh assets, so the body is an analytic
-    union (head sphere + torso capsule-ish box + leg boxes) — same solver
-    character: large soft body, self-collision through the grid, floor
-    contact.
+    component #17). This variant uses an analytic union (head sphere +
+    torso box + limb boxes) — same solver character: large soft body,
+    self-collision through the grid, floor contact. See faceless_mesh_3d
+    for the mesh-sampled variant (procedural OBJ through the real
+    io.mesh pipeline).
     """
     dx = 1.0 / res
     cfg = SimConfig(
@@ -174,6 +175,46 @@ def faceless_3d(res: int = 128, ppc: int = 8, E: float = 5e5, dtype=jnp.float32)
     x, vol = sample_level_set(
         key, phi, (0.3, 0.2, 0.4), (0.7, 0.72, 0.6), dx, particles_per_cell=ppc, dtype=dtype
     )
+    mu, lam = lame_parameters(E, 0.35)
+    state = make_particle_state(
+        x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
+    )
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.08, 0.0), n=(0.0, 1.0, 0.0)),)
+    return dict(
+        cfg=cfg,
+        state=state,
+        model=MODEL_REGISTRY["fixed_corotated"],
+        colliders=colliders,
+        plasticity=None,
+    )
+
+
+def faceless_mesh_3d(res: int = 128, ppc: int = 8, E: float = 5e5,
+                     obj_path: str = None, dtype=jnp.float32):
+    """The faceless scene's REAL variant (components #17/#33): particles
+    sampled INSIDE a character triangle mesh via the OBJ -> ray-parity ->
+    jittered-lattice pipeline (hot_tpu.io.mesh.sample_mesh). No mesh asset
+    ships, so the default mesh is the procedurally generated watertight
+    character of hot_tpu.scenes.assets (pass obj_path to use your own —
+    the reference loads the paper's faceless OBJ the same way)."""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, -9.81, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    if obj_path is None:
+        from hot_tpu.scenes.assets import faceless_obj_path
+
+        obj_path = faceless_obj_path()
+    from hot_tpu.io.mesh import sample_mesh
+
+    key = jax.random.PRNGKey(7)
+    # drop from above the floor: mesh occupies y in [0.02, 0.84]; lift it
+    x, vol = sample_mesh(key, obj_path, dx, particles_per_cell=ppc,
+                         translate=(0.0, 0.1, 0.0), dtype=dtype)
     mu, lam = lame_parameters(E, 0.35)
     state = make_particle_state(
         x, particle_volume=vol, density=1000.0, mu=mu, lam=lam, dtype=dtype
@@ -305,6 +346,7 @@ SCENES = {
     "twisting_bar_vonmises_3d": twisting_bar_vonmises_3d,
     "stacked_boxes_3d": stacked_boxes_3d,
     "faceless_3d": faceless_3d,
+    "faceless_mesh_3d": faceless_mesh_3d,
     "sand_column_2d": sand_column_2d,
     "snowball_drop_2d": snowball_drop_2d,
 }
