@@ -58,14 +58,15 @@ def rap_half_out(half_in: int) -> int:
 
 
 def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
-        coarse_capacity: int, mem_budget: int = 1 << 28,
+        coarse_capacity: int,
         fine_origin=None, coarse_origin=None,
         coarse_tgrid=None) -> bsr_mod.BsrMatrix:
     """A_c = P^T A P with node-embedding prolongation, any stencil half.
 
-    Chunked over the fine-stencil and embedding axes so no intermediate
-    exceeds ~mem_budget bytes (the full (R, Kf, 3^d, d, d) products reach
-    several GB at fine levels).
+    Peak memory is the step-2 scatter buffer, (2^dim * n_out + R + 1)
+    x Kc x d^2 values — the parity-static formulation below materializes
+    no (R, Kf, 3^dim) product (the old chunked path did, hence its
+    removed mem_budget knob).
 
     fine_origin / coarse_origin: optional (dim,) integer GLOBAL coords of
     the local grids' node (0,...,0) — used by the sharded MG, where A is a

@@ -301,7 +301,9 @@ def test_sparse_assembled_galerkin_mg_trajectory():
         },
         # matrix-free finest + assembled coarser levels (the >=256^3
         # memory configuration: the finest explicit BSR doesn't fit HBM);
-        # the first assembled level is quadrature-built, deeper ones RAP
+        # the first assembled level is built by the composed-stencil EXACT
+        # Galerkin path (ops.composed, auto-enabled via
+        # _choose_mg_composed_caps), deeper ones RAP
         "sparse_mf_finest": {
             "grid_backend": "sparse", "tile_capacity": 128,
             "solver.multigrid.assembled_from_level": 1,
@@ -322,6 +324,12 @@ def test_sparse_assembled_galerkin_mg_trajectory():
         sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
         for _ in range(70):
             sim.step(4e-3)
+        if name == "sparse_mf_finest":
+            # pin the intended mechanism: the first assembled level must
+            # come from the composed exact-Galerkin path (ops.composed),
+            # not quadrature rediscretization — the loose iteration bounds
+            # below are for SUBSPACE drops (compact tiles), nothing else
+            assert sim._mg_composed_caps is not None
         states[name] = np.asarray(sim.state.x)
         recs = [r for r in sim.metrics.records if "newton_iters" in r]
         iters[name] = (
@@ -334,14 +342,15 @@ def test_sparse_assembled_galerkin_mg_trajectory():
         # CG counts may differ slightly: compact hierarchies drop coarse
         # rows outside active tiles (subspace Galerkin)
         assert abs(iters[name][1] - iters["dense"][1]) <= 0.1 * iters["dense"][1] + 5, (name, iters)
-    # mf-finest: the first assembled level is quadrature-built (no explicit
-    # parent to RAP from), a genuinely different preconditioner — measured
-    # 13/21 vs 11/11 here; bound it loosely and require convergence
+    # mf-finest: level 1 is exact composed Galerkin, but the compact tiles
+    # drop overhang coarse rows (subspace Galerkin) and the finest level
+    # smooths matrix-free — a different preconditioner; measured 13/21 vs
+    # 11/11 here; bound it loosely and require convergence
     assert iters["sparse_mf_finest"][0] <= iters["dense"][0] + 4, iters
     assert iters["sparse_mf_finest"][1] <= 3 * iters["dense"][1] + 5, iters
     # positions agree to CG-tolerance level, not bitwise: compact
     # hierarchies drop overhang coarse rows (subspace Galerkin) and the
-    # mf-finest hierarchy's level 1 is quadrature-built, so the
+    # mf-finest hierarchy smooths its finest level matrix-free, so the
     # preconditioner differs and CG returns a different iterate within
     # cg_tol (measured 8e-7 / 3e-5 over 70 steps; iteration counts above)
     for name in ("sparse_tail", "sparse_all_compact", "sparse_mf_finest"):
