@@ -135,21 +135,48 @@ def _to_cl(x, n_pad):
     return x.T.reshape(C, n_pad // LANES, LANES)
 
 
-def fused_contrib(vi, gwn, F, U, V, A, bp, bm, V0, dt, *, interpret=False):
-    """Per-(particle, stencil-node) force-differential contributions.
-
-    vi, gwn: (n, s, d); F/U/V/A: (n, d, d); bp/bm: (n, n_pairs); V0: (n,).
-    Returns (n, s, d) — identical to the XLA chain in
-    objective.elastic_hessian_apply between gather and scatter.
-    """
-    n, s, d = vi.shape
-    dtype = vi.dtype
+def n_padded(n: int) -> int:
     rows_per_block = SUBL * LANES
-    n_pad = ((n + rows_per_block - 1) // rows_per_block) * rows_per_block
-    grid = (n_pad // rows_per_block,)
+    return ((n + rows_per_block - 1) // rows_per_block) * rows_per_block
 
-    args = [
-        _to_cl(vi.reshape(n, s * d), n_pad),
+
+def fused_contrib_cl(args_cl, dt, *, s: int, dim: int, interpret=False):
+    """Kernel core on COMPONENT-LEADING inputs (no layout conversions).
+
+    args_cl: [vi, gwn, F, U, V, A, bp, bm, V0] already in (C, n_pad//LANES,
+    LANES) tiles (see _to_cl / params_cl). Returns (s*d, n_pad//LANES,
+    LANES) contributions in the same layout. This is the feed the flat
+    apply path uses: the caller keeps every HBM materialization 2D-flat
+    (the (n, s, d) R3 feed of the original wrapper picks up ~50x tile
+    padding — docs/KERNEL_PLAN.md "tiny trailing dims").
+    """
+    dtype = args_cl[0].dtype
+    n_pad = args_cl[0].shape[1] * LANES
+    grid = (n_pad // (SUBL * LANES),)
+
+    def spec(C):
+        return pl.BlockSpec(
+            (C, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    in_specs += [spec(a.shape[0]) for a in args_cl]
+    return pl.pallas_call(
+        functools.partial(_kernel, s=s, dim=dim),
+        out_shape=jax.ShapeDtypeStruct((s * dim, n_pad // LANES, LANES), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec(s * dim),
+        interpret=interpret,
+    )(dt_arr, *args_cl)
+
+
+def params_cl(gwn, F, U, V, A, bp, bm, V0, n_pad: int):
+    """Per-Newton parameter block in component-leading layout — computed
+    once per linearization, reused by every CG apply."""
+    n, s, d = gwn.shape
+    return [
         _to_cl(gwn.reshape(n, s * d), n_pad),
         _to_cl(F.reshape(n, d * d), n_pad),
         _to_cl(U.reshape(n, d * d), n_pad),
@@ -160,21 +187,18 @@ def fused_contrib(vi, gwn, F, U, V, A, bp, bm, V0, dt, *, interpret=False):
         _to_cl(V0[:, None], n_pad),
     ]
 
-    def spec(C):
-        return pl.BlockSpec(
-            (C, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        )
 
-    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
-    in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-    in_specs += [spec(a.shape[0]) for a in args]
-    out = pl.pallas_call(
-        functools.partial(_kernel, s=s, dim=d),
-        out_shape=jax.ShapeDtypeStruct((s * d, n_pad // LANES, LANES), dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=spec(s * d),
-        interpret=interpret,
-    )(dt_arr, *args)
+def fused_contrib(vi, gwn, F, U, V, A, bp, bm, V0, dt, *, interpret=False):
+    """Per-(particle, stencil-node) force-differential contributions.
+
+    vi, gwn: (n, s, d); F/U/V/A: (n, d, d); bp/bm: (n, n_pairs); V0: (n,).
+    Returns (n, s, d) — identical to the XLA chain in
+    objective.elastic_hessian_apply between gather and scatter.
+    """
+    n, s, d = vi.shape
+    n_pad = n_padded(n)
+    args = [_to_cl(vi.reshape(n, s * d), n_pad)]
+    args += params_cl(gwn, F, U, V, A, bp, bm, V0, n_pad)
+    out = fused_contrib_cl(args, dt, s=s, dim=d, interpret=interpret)
     out = out.reshape(s * d, n_pad).T[:n]
     return out.reshape(n, s, d)

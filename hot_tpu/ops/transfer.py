@@ -188,21 +188,28 @@ def binned_scatter(bins: CellBins, values, res: Tuple[int, ...]):
 
 def _cells_to_grid(bins: CellBins, S, res: Tuple[int, ...], s: int, c: int):
     """Per-cell stencil sums S (cells_cap, s*c) -> dense grid (n_cells, c):
-    ONE sorted-unique row scatter + 3^dim static shifted adds."""
+    ONE sorted-unique row scatter + 3^dim static shifted adds.
+
+    The shifted adds run in COMPONENT-LEADING layout ((c,) + res, lanes =
+    res[-1]): the earlier (res..., s, c) form slices trailing-dim-c arrays
+    whose TPU tiles pad c=3 -> 128 — measured 5.35 ms for this function
+    alone at 64^3; the CL form's adds are fully regular (~0.4 ms of pure
+    HBM traffic)."""
     n_cells = n_nodes_of(res)
     S_grid = jnp.zeros((n_cells + 1, s * c), S.dtype)
     S_grid = S_grid.at[bins.active_cells].set(
         S, indices_are_sorted=True, unique_indices=True
     )[:n_cells]
     offs, off_flat, _ = _static_offsets(res)
-    S_res = S_grid.reshape(tuple(res) + (s, c))
-    grid = jnp.zeros(tuple(res) + (c,), S.dtype)
+    S_cl = S_grid.T.reshape((s, c) + tuple(res))       # one big transpose
+    grid = jnp.zeros((c,) + tuple(res), S.dtype)
     for k in range(s):
         off = tuple(int(o) for o in offs[k])
-        src = S_res[tuple(slice(0, r - o) for r, o in zip(res, off)) + (k,)]
-        dst = tuple(slice(o, r) for r, o in zip(res, off))
+        src = S_cl[k][(slice(None),) + tuple(
+            slice(0, r - o) for r, o in zip(res, off))]
+        dst = (slice(None),) + tuple(slice(o, r) for r, o in zip(res, off))
         grid = grid.at[dst].add(src)
-    return grid.reshape(n_cells, c)
+    return grid.reshape(c, n_cells).T
 
 
 def _grid_windows(grid_vals, res: Tuple[int, ...]):
@@ -231,9 +238,39 @@ def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
     1.4M-tiny-row gather (measured 5.5 ms -> this shape is ~0.5 ms).
     """
     vec = grid_vals.ndim == 2
-    W = _grid_windows(grid_vals, res)                # (n_cells, s, c)
-    out = W[bins.cell_of]                            # (n, s, c) row gather
+    c = grid_vals.shape[1] if vec else 1
+    s = 3 ** len(res)
+    out = window_gather_flat(bins, grid_vals, res).reshape(-1, s, c)
     return out if vec else out[..., 0]
+
+
+def window_gather_flat(bins: CellBins, grid_vals, res: Tuple[int, ...]):
+    """Flat-layout stencil gather: (n_nodes[, c]) -> (n, 3^dim * c),
+    k-major. The per-particle row gather runs on (n_cells, s*c) FLAT rows:
+    gathering the same bytes as (n_cells, s, c) R3 rows measured 4.0 ms vs
+    0.9 ms flat at 64^3 (scripts/bench_apply_variants.py --pieces — TPU
+    tiles pad the R3 rows' trailing (s, c) dims).
+    """
+    vec = grid_vals.ndim == 2
+    c = grid_vals.shape[1] if vec else 1
+    s = 3 ** len(res)
+    W = _grid_windows(grid_vals, res).reshape(-1, s * c)
+    return W[bins.cell_of]                           # (n, s*c) row gather
+
+
+def binned_scatter_flat(bins: CellBins, vals_flat, res: Tuple[int, ...],
+                        c: int):
+    """binned_scatter for K-MAJOR FLAT values (n, 3^dim * c) -> (n_cells, c)
+    (or (n_cells,) when c == 1) without reshaping through (n, 3^dim, c)."""
+    dim = len(res)
+    s = 3**dim
+    n = vals_flat.shape[0]
+    cells_cap, cap = bins.p_cell.shape
+    slots = jnp.zeros((cells_cap * cap + 1, s * c), vals_flat.dtype)
+    slots = slots.at[bins.slot_of].set(vals_flat, unique_indices=True)[:-1]
+    S = jnp.sum(slots.reshape(cells_cap, cap, s * c), axis=1)
+    out = _cells_to_grid(bins, S, res, s, c)
+    return out if c > 1 else out[:, 0]
 
 
 def particle_stencil(x, dx, res: Tuple[int, ...],

@@ -205,6 +205,46 @@ def multiply(obj: ObjectiveContext, hess: HessianState, w,
     )
 
 
+def hessian_params_cl(obj: ObjectiveContext, ctx):
+    """Component-leading per-Newton parameter block for multiply_cl —
+    computed once per linearization (it transposes 8 per-particle arrays),
+    amortized over every CG apply. Returned as a flat tuple so it rides in
+    the Newton loop carry."""
+    from hot_tpu.ops import pallas_apply as pk
+
+    n = obj.F_n.shape[0]
+    return tuple(pk.params_cl(
+        obj.stencil.gwn, obj.F_n, ctx.U, ctx.V, ctx.A, ctx.b_plus,
+        ctx.b_minus, obj.V0, pk.n_padded(n),
+    ))
+
+
+def multiply_cl(obj: ObjectiveContext, params_cl, w, bins, res,
+                interpret: bool = False):
+    """H w with the FLAT/component-leading fused path: every HBM
+    materialization between the grid vector and the scatter is 2D with a
+    large trailing dim (flat windows -> one row gather -> one pad+transpose
+    -> Pallas kernel in (C, sublane, lane) tiles -> transpose back -> flat
+    binned scatter). The R3 (n, 3^dim, d) feed of the plain fused path
+    picks up ~50x TPU tile padding (docs/KERNEL_PLAN.md "tiny trailing
+    dims") — this path exists to remove it. Equality with the XLA chain is
+    tested in tests/test_pallas.py.
+    """
+    from hot_tpu.ops import pallas_apply as pk
+
+    n, s = obj.stencil.wn.shape
+    d = w.shape[-1]
+    n_pad = params_cl[0].shape[1] * pk.LANES
+    rows = transfer.window_gather_flat(bins, w, res)        # (n, s*d)
+    vi_cl = pk._to_cl(rows, n_pad)
+    out_cl = pk.fused_contrib_cl([vi_cl] + list(params_cl), obj.dt,
+                                 s=s, dim=d, interpret=interpret)
+    contrib = out_cl.reshape(s * d, n_pad).T[:n]            # (n, s*d)
+    df = transfer.binned_scatter_flat(bins, contrib, res, d)
+    out = obj.grid_m[:, None] * w - obj.dt * df
+    return jnp.where(obj.active[:, None], out, w)
+
+
 def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
                        scatter=transfer.default_scatter):
     """Per-node (d, d) diagonal blocks of M + dt^2 K — the block-Jacobi

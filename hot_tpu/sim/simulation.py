@@ -227,25 +227,56 @@ def _advance_one_step_impl(
 
     # Hessian representation: matrix-free (HOT's --matfree) or explicit BSR
     if sol.matrix_free:
-        build_hess = lambda v: (
-            obj_mod.build_hessian(model, objective, v,
-                                  project_spd=sol.project_hessian,
-                                  gather_st=sol_gather),
-            None,
+        # Component-leading fused apply (objective.multiply_cl): flat
+        # windows + the Pallas kernel on (C, sublane, lane) tiles — no
+        # small-trailing-dim HBM buffers anywhere in the CG hot loop. The
+        # CL parameter block is built once per Newton iteration and rides
+        # in the loop carry. Requires the dense binned particle-order path
+        # with quadratic transfers.
+        use_cl = (
+            fused_apply and use_binned and not use_slots
+            and cfg.transfer_kernel == "quadratic"
         )
-        multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
-                                                  scatter=sol_scatter,
-                                                  gather_st=sol_gather,
-                                                  fused=fused_apply)
+        if use_cl:
+            def build_hess(v):
+                hess = obj_mod.build_hessian(
+                    model, objective, v, project_spd=sol.project_hessian,
+                    gather_st=sol_gather,
+                )
+                return hess, obj_mod.hessian_params_cl(objective, hess.ctx)
 
-        def lin(v):
-            # fused residual + Hessian (one SVD chain per Newton iteration)
-            r, hess = obj_mod.linearize(
-                model, objective, v, project_spd=sol.project_hessian,
-                scatter=sol_scatter, gather_st=sol_gather,
-                fused=fused_lin,
+            multiply = lambda hp, w: obj_mod.multiply_cl(
+                objective, hp[1], w, bins, res
             )
-            return r, (hess, None)
+
+            def lin(v):
+                r, hess = obj_mod.linearize(
+                    model, objective, v, project_spd=sol.project_hessian,
+                    scatter=sol_scatter, gather_st=sol_gather,
+                    fused=fused_lin,
+                )
+                return r, (hess, obj_mod.hessian_params_cl(objective, hess.ctx))
+        else:
+            build_hess = lambda v: (
+                obj_mod.build_hessian(model, objective, v,
+                                      project_spd=sol.project_hessian,
+                                      gather_st=sol_gather),
+                None,
+            )
+            multiply = lambda hp, w: obj_mod.multiply(objective, hp[0], w,
+                                                      scatter=sol_scatter,
+                                                      gather_st=sol_gather,
+                                                      fused=fused_apply)
+
+        if not use_cl:
+            def lin(v):
+                # fused residual + Hessian (one SVD chain per Newton iteration)
+                r, hess = obj_mod.linearize(
+                    model, objective, v, project_spd=sol.project_hessian,
+                    scatter=sol_scatter, gather_st=sol_gather,
+                    fused=fused_lin,
+                )
+                return r, (hess, None)
     else:
         lin = None
         from hot_tpu.ops import bsr as bsr_mod

@@ -146,3 +146,50 @@ def test_fused_contrib_matches_xla_chain(rng, dim):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_multiply_cl_matches_xla_multiply(rng, dim):
+    """The flat/component-leading apply path (objective.multiply_cl:
+    flat windows -> CL fused kernel -> flat binned scatter) equals the
+    plain XLA matrix-free multiply."""
+    from hot_tpu.ops import transfer
+    from hot_tpu.sim import objective as obj_mod
+
+    if dim == 3:
+        scene = build_scene("twisting_bar_3d", res=16, ppc=2)
+    else:
+        scene = build_scene("block_drop_2d", res=24)
+    state = scene["state"]
+    model = scene["model"]
+    cfg = scene["cfg"]
+    res = cfg.grid_res[:dim]
+    dx = cfg.dx
+    dt = jnp.float32(2e-3)
+    n = state.n
+    n_nodes = transfer.n_nodes_of(res)
+    x = jnp.asarray(state.x, jnp.float32)
+    st = transfer.particle_stencil(x, dx, res)
+    gm, gmv = transfer.p2g_mass_momentum(
+        st, jnp.asarray(state.v, jnp.float32),
+        jnp.asarray(state.C, jnp.float32), jnp.asarray(state.m, jnp.float32),
+        n_nodes)
+    active = gm > 0
+    vg = gmv * jnp.where(active, 1.0 / jnp.maximum(gm, 1e-30), 0.0)[:, None]
+    proj = jnp.broadcast_to(jnp.eye(dim, dtype=jnp.float32),
+                            (n_nodes, dim, dim))
+    obj = obj_mod.make_objective(
+        model, st, jnp.asarray(state.F, jnp.float32),
+        jnp.asarray(state.V0, jnp.float32), jnp.asarray(state.mu, jnp.float32),
+        jnp.asarray(state.lam, jnp.float32), gm, vg, proj, dt, dx)
+    hess = obj_mod.build_hessian(model, obj, vg)
+    w = jnp.asarray(rng.standard_normal((n_nodes, dim)), jnp.float32)
+
+    want = obj_mod.multiply(obj, hess, w)
+
+    bins = transfer.bin_particles(x, dx, res, max(64, n), 16)
+    assert not bool(bins.overflow)
+    params = obj_mod.hessian_params_cl(obj, hess.ctx)
+    got = obj_mod.multiply_cl(obj, params, w, bins, res, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
