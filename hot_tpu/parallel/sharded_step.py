@@ -431,6 +431,7 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
             max_cg=sol.max_cg,
             adaptive_forcing=sol.adaptive_forcing,
             axis_name=axis,
+            precond_refresh=sol.precond_refresh,
         )
         v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)
 

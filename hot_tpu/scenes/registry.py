@@ -229,6 +229,88 @@ def faceless_mesh_3d(res: int = 128, ppc: int = 8, E: float = 5e5,
     )
 
 
+def boards_3d(res: int = 64, ppc: int = 8, dtype=jnp.float32):
+    """Paper-suite "boards" scene (SURVEY.md #33 breadth, beyond the three
+    acceptance scenes): thin stiff elastoplastic boards dropped flat onto
+    a frictional floor — the bending-dominated stress case that separates
+    preconditioners (thin elements condition the Hessian badly)."""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=3,
+        dx=dx,
+        grid_res=(res, res, res),
+        gravity=(0.0, -9.81, 0.0),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    states = []
+    thick = max(3.0 * dx, 0.04)
+    for i in range(3):
+        key = jax.random.PRNGKey(20 + i)
+        y0 = 0.3 + i * (thick + 0.08)
+        x, vol = sample_box(
+            key,
+            (0.25 + 0.04 * i, y0, 0.35),
+            (0.75 - 0.04 * i, y0 + thick, 0.65),
+            dx, particles_per_cell=ppc, dtype=dtype,
+        )
+        mu, lam = lame_parameters(2e7, 0.35)
+        states.append(make_particle_state(
+            x, particle_volume=vol, density=800.0, mu=mu, lam=lam,
+            dtype=dtype,
+        ))
+    state = concatenate_states(states)
+    state = state.replace(
+        yield_stress=jnp.full((state.n,), 5e4, state.x.dtype)
+    )
+    colliders = (
+        HalfSpace(kind=SLIP, friction=0.3, origin=(0.0, 0.2, 0.0),
+                  n=(0.0, 1.0, 0.0)),
+    )
+    return dict(cfg=cfg, state=state, model=MODEL_REGISTRY["stvk_hencky"],
+                colliders=colliders, plasticity="von_mises")
+
+
+def chain_2d(res: int = 96, E: float = 5e6, dtype=jnp.float32):
+    """Paper-suite "chain" scene (2D section): stiff elastic rings falling
+    onto each other and a sticky floor — large rotations + ring-on-ring
+    contact through the grid, the stress case for SPD projection
+    (component #20) and CN termination across stacked stiff bodies.
+    (True interlocked links are 3D; the 2D section keeps the contact +
+    bending character at CPU-testable cost.)"""
+    dx = 1.0 / res
+    cfg = SimConfig(
+        dim=2, dx=dx, grid_res=(res, res), gravity=(0.0, -9.81),
+        dtype=str(jnp.dtype(dtype)),
+    )
+    r_out, r_in = 0.085, 0.055
+    # slightly separated vertically (no initial interpenetration:
+    # band overlap needs center distance < 2*r_out)
+    centers = [(0.5, 0.75), (0.46, 0.55), (0.54, 0.35)]
+
+    states = []
+    for i, c in enumerate(centers):
+        cj = jnp.asarray(c)
+
+        def phi(p, cj=cj):
+            d = jnp.linalg.norm(p - cj[None, :], axis=-1)
+            return jnp.maximum(d - r_out, r_in - d)      # annulus
+
+        key = jax.random.PRNGKey(30 + i)
+        lo = (c[0] - r_out - 2 * dx, c[1] - r_out - 2 * dx)
+        hi = (c[0] + r_out + 2 * dx, c[1] + r_out + 2 * dx)
+        x, vol = sample_level_set(key, phi, lo, hi, dx,
+                                  particles_per_cell=4, dtype=dtype)
+        mu, lam = lame_parameters(E, 0.3)
+        states.append(make_particle_state(
+            x, particle_volume=vol, density=1200.0, mu=mu, lam=lam,
+            dtype=dtype,
+        ))
+    state = concatenate_states(states)
+    colliders = (HalfSpace(kind=STICKY, origin=(0.0, 0.1), n=(0.0, 1.0)),)
+    return dict(cfg=cfg, state=state, model=MODEL_REGISTRY["fixed_corotated"],
+                colliders=colliders, plasticity=None)
+
+
 def _box_phi(x, lo, hi):
     lo = jnp.asarray(lo, x.dtype)
     hi = jnp.asarray(hi, x.dtype)
@@ -345,6 +427,8 @@ SCENES = {
     "twisting_bar_3d": twisting_bar_3d,
     "twisting_bar_vonmises_3d": twisting_bar_vonmises_3d,
     "stacked_boxes_3d": stacked_boxes_3d,
+    "boards_3d": boards_3d,
+    "chain_2d": chain_2d,
     "faceless_3d": faceless_3d,
     "faceless_mesh_3d": faceless_mesh_3d,
     "sand_column_2d": sand_column_2d,

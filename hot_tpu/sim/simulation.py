@@ -268,7 +268,6 @@ def _advance_one_step_impl(
                                                       gather_st=sol_gather,
                                                       fused=fused_apply)
 
-        if not use_cl:
             def lin(v):
                 # fused residual + Hessian (one SVD chain per Newton iteration)
                 r, hess = obj_mod.linearize(
@@ -478,6 +477,7 @@ def _advance_one_step_impl(
             energy=lambda v: obj_mod.energy(model, objective, v,
                                             gather_st=sol_gather),
             line_search=sol.line_search,
+            precond_refresh=sol.precond_refresh,
             linearize=lin,
         )
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)

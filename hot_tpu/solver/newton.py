@@ -64,6 +64,15 @@ def newton_solve(
     axis_name: str = None,        # set under shard_map: residual norms and
                                   # CG dots psum across the mesh so every
                                   # device takes identical trip counts
+    precond_refresh: str = "newton",  # "newton": rebuild the preconditioner
+                                  # at every Newton iterate (HOT's
+                                  # semantics — hierarchy follows the
+                                  # linearization point); "step": build it
+                                  # ONCE at v0 and reuse (lagged/frozen
+                                  # preconditioner — still SPD, CG still
+                                  # converges to the same iterates'
+                                  # tolerance; trades per-Newton build
+                                  # cost for a few extra CG iterations)
 ) -> NewtonResult:
     """Run the inexact Newton loop. All arguments with shapes are traced.
 
@@ -85,6 +94,8 @@ def newton_solve(
 
     r0, hess0 = linearize(v0)
     cn0 = cn_norm(r0)
+    frozen_pstate = (build_preconditioner(hess0)
+                     if precond_refresh == "step" else None)
 
     def cond(carry):
         v, r, hess, cn, k, cg_total, hist = carry
@@ -93,7 +104,8 @@ def newton_solve(
 
     def body(carry):
         v, r, hess, cn, k, cg_total, hist = carry
-        pstate = build_preconditioner(hess)
+        pstate = (frozen_pstate if precond_refresh == "step"
+                  else build_preconditioner(hess))
         if adaptive_forcing:
             ratio = cn / jnp.maximum(cn0, 1e-30)
             eta = jnp.clip(jnp.sqrt(ratio), cg_tol, 0.5)

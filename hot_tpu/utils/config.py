@@ -129,6 +129,12 @@ class SolverConfig:
     # 0 = one row per grid node (fine for 2D / small 3D grids)
     bsr_capacity: int = 0
     line_search: bool = False       # optional backtracking (off, like HOT at CFL dt)
+    # Preconditioner rebuild cadence: "newton" (HOT — rebuilt at every
+    # Newton iterate) or "step" (lagged: built once at v0 and reused; still
+    # SPD, trades the per-Newton hierarchy/assembly cost for a few extra
+    # CG iterations — the profitable trade when the MG build dominates the
+    # step, see solver.newton.newton_solve precond_refresh)
+    precond_refresh: str = "newton"
     # Failure handling (SURVEY.md §5.3): on non-convergence or non-finite
     # state, retry the step with halved dt up to this many times.
     dt_retries: int = 3

@@ -26,6 +26,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp")
 
@@ -57,7 +59,7 @@ def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
 
 def run_one(variant: str, res: int, steps: int, dt: float,
             levels: int = 4, coarse: str = "direct",
-            pallas_apply=None, transfer=None) -> dict:
+            pallas_apply=None, transfer=None, refresh: str = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -69,14 +71,28 @@ def run_one(variant: str, res: int, steps: int, dt: float,
     scene = build_scene("twisting_bar_3d", res=res, ppc=8)
     cfg = scene["cfg"]
     cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver, levels, coarse, pallas_apply))
+    if refresh:
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, precond_refresh=refresh)
+        )
     if transfer:
         cfg = dataclasses.replace(cfg, transfer_impl=transfer)
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
 
+    # TINY-dt warm-up (round-3 protocol): this environment kills any single
+    # execution beyond ~60 s (scripts/probe_exec_deadline.py), and the
+    # first executions after compile run 10-100x slow (background re-opt).
+    # A multi-Newton MG step inside the re-opt window crosses the deadline
+    # and faults the device — the two-round "mg_asm device fault". Tiny dt
+    # converges in 1 Newton (same compiled program; dt is a traced arg), so
+    # each warm execution stays far under the deadline; full-dt steps then
+    # run warm.
+    dt_warm = dt / 200.0
     t_compile0 = time.perf_counter()
-    stats = sim.step(dt)
+    stats = sim.step(dt_warm)
     compile_s = time.perf_counter() - t_compile0
-    # warm: let background re-opt settle (first loops run ~100x slow)
+    for _ in range(11):
+        stats = sim.step(dt_warm)
     for _ in range(9):
         stats = sim.step(dt)
     newton = int(stats.newton_iters)
@@ -113,6 +129,7 @@ def main():
     ap.add_argument("--coarse", default="direct")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--transfer", default=None)
+    ap.add_argument("--refresh", default=None, choices=["newton", "step"])
     ap.add_argument("--variants", default=",".join(VARIANTS))
     args = ap.parse_args()
 
@@ -120,7 +137,7 @@ def main():
         print(json.dumps(run_one(args.one, args.res, args.steps, args.dt,
                                  args.levels, args.coarse,
                                  False if args.no_pallas else None,
-                                 args.transfer)),
+                                 args.transfer, args.refresh)),
               flush=True)
         return
 
@@ -130,7 +147,8 @@ def main():
                "--res", str(args.res), "--steps", str(args.steps),
                "--dt", str(args.dt), "--levels", str(args.levels),
                "--coarse", args.coarse] + (["--no-pallas"] if args.no_pallas else []) + (
-                  ["--transfer", args.transfer] if args.transfer else [])
+                  ["--transfer", args.transfer] if args.transfer else []) + (
+                  ["--refresh", args.refresh] if args.refresh else [])
         print(f"[ab] running {v} ...", file=sys.stderr, flush=True)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

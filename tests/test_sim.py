@@ -316,3 +316,22 @@ def test_wheel_scene_spins_and_steps():
         stats = sim.step(1e-3)
     assert bool(stats.converged)
     assert np.isfinite(np.asarray(sim.state.x)).all()
+
+
+def test_boards_and_chain_scenes_step():
+    """Paper-suite breadth scenes (SURVEY.md #33): boards (thin stiff
+    elastoplastic plates) and chain (falling ring sections) build and
+    survive implicit steps with finite state."""
+    import numpy as np
+
+    for name, kwargs, steps in (
+        ("boards_3d", dict(res=32, ppc=2), 3),
+        ("chain_2d", dict(res=48), 6),
+    ):
+        scene = build_scene(name, dtype=jnp.float64, **kwargs)
+        assert scene["state"].n > 100, name
+        sim = make_sim(scene)
+        for _ in range(steps):
+            stats = sim.step(2e-3)
+        assert bool(stats.converged), name
+        assert np.all(np.isfinite(np.asarray(sim.state.x))), name

@@ -103,3 +103,46 @@ def test_newton_on_rosenbrock_like(rng):
     assert bool(res.converged)
     # quadratic-ish convergence: few iterations
     assert int(res.iters) < 30
+
+
+def test_precond_refresh_step_lag():
+    """precond_refresh='step' (lagged preconditioner): the preconditioner
+    is built once per step at v0 and reused across Newton iterations — CG
+    must still converge (SPD preserved) to the same trajectory within
+    solver tolerance, with at most moderately more CG iterations."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import Simulation
+
+    runs = {}
+    for refresh in ("newton", "step"):
+        scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
+        cfg = scene["cfg"]
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(
+                cfg.solver, preconditioner="multigrid",
+                precond_refresh=refresh,
+            ),
+        )
+        sim = Simulation(cfg, scene["state"], scene["model"],
+                         scene["colliders"])
+        for _ in range(60):
+            sim.step(4e-3)
+        recs = sim.metrics.records
+        assert all(r["converged"] for r in recs), refresh
+        runs[refresh] = (
+            np.asarray(sim.state.x),
+            sum(r["newton_iters"] for r in recs),
+            sum(r["cg_iters"] for r in recs),
+        )
+    x_n, newton_n, cg_n = runs["newton"]
+    x_s, newton_s, cg_s = runs["step"]
+    assert newton_s <= newton_n + 3, (newton_s, newton_n)
+    assert cg_s <= 2 * cg_n + 10, (cg_s, cg_n)
+    np.testing.assert_allclose(x_s, x_n, atol=5e-5)
