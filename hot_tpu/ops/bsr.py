@@ -171,17 +171,31 @@ def assemble_hessian(
     vals = jnp.zeros((mat.n_rows * K + 1, dim * dim), blocks.dtype)
     vals = vals.at[flat_id.reshape(-1)].add(
         blocks.reshape(-1, dim * dim)
-    )[: mat.n_rows * K].reshape(mat.n_rows, K, dim, dim)
+    )[: mat.n_rows * K].reshape(mat.n_rows, K * dim * dim)
+    return mat._replace(
+        vals=_finalize_vals(mat, vals, grid_m, n_nodes, dim, K)
+    )
 
-    # inertia: m_i I at the center offset
+
+def _finalize_vals(mat: BsrMatrix, vals_flat, grid_m, n_nodes: int,
+                   dim: int, K: int):
+    """Assembly tail in FLAT (n_rows, K*d*d) layout: add the center-offset
+    inertia m_i I and zero absent neighbors, THEN reshape to the canonical
+    (n_rows, K, d, d). An (n_rows, K, d, d)-shaped select fusion output
+    tile-pads (d, d) -> T(4, 128) = 56.9x (measured: a single 5.04 GB HLO
+    temp that OOM'd the assembled-MG step compile at 64^3); the flat
+    select pads ~2%."""
+    dd = dim * dim
     center = (K - 1) // 2
     m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
     m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
-    eye = jnp.eye(dim, dtype=vals.dtype)
-    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
-    # absent neighbors carry no values
-    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
-    return mat._replace(vals=vals)
+    eye_flat = jnp.eye(dim, dtype=vals_flat.dtype).reshape(1, dd)
+    vals_flat = vals_flat.at[:, center * dd:(center + 1) * dd].add(
+        m_rows[:, None] * eye_flat
+    )
+    mask = jnp.repeat(mat.col_row >= 0, dd, axis=1)       # (n_rows, K*dd)
+    vals_flat = jnp.where(mask, vals_flat, 0.0)
+    return vals_flat.reshape(mat.n_rows, K, dim, dim)
 
 
 def dpdf_tensor(ctx, dim: int):
@@ -291,16 +305,10 @@ def assemble_hessian_binned(
             blocks[:, j].reshape(cells_cap, s, dim * dim),
             unique_indices=True,
         )
-    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
-
-    # inertia: m_i I at the center offset
-    center = (K - 1) // 2
-    m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
-    m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
-    eye = jnp.eye(dim, dtype=vals.dtype)
-    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
-    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
-    return mat._replace(vals=vals)
+    vals = vals[:n_rows].reshape(n_rows, K * dim * dim)
+    return mat._replace(
+        vals=_finalize_vals(mat, vals, grid_m, n_nodes, dim, K)
+    )
 
 
 def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
@@ -448,15 +456,10 @@ def assemble_hessian_modes(
             blocks[:, j].reshape(cells_cap, s, dim * dim),
             unique_indices=True,
         )
-    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
-
-    center = (K - 1) // 2
-    m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
-    m_rows = jnp.where(mat.node_of < n_nodes, m_rows, 0.0)
-    eye = jnp.eye(dim, dtype=vals.dtype)
-    vals = vals.at[:, center].add(m_rows[:, None, None] * eye[None])
-    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
-    return mat._replace(vals=vals)
+    vals = vals[:n_rows].reshape(n_rows, K * dim * dim)
+    return mat._replace(
+        vals=_finalize_vals(mat, vals, grid_m, n_nodes, dim, K)
+    )
 
 
 def spmv(mat: BsrMatrix, x):

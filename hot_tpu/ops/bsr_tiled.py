@@ -181,7 +181,25 @@ def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
     xf = X8.reshape(T, S**dim, d)
     xw = xf[:, sup_idx].reshape(T, tn, mat.K, d)
     vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
-    y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
+    # FLAT multiply-reduce: the obvious jnp.sum(vals * xw[..., None, :],
+    # axis=(2, 4)) leaves a (T*tn, K, d, d) intermediate whose layout XLA
+    # may tile-pad 56.9x (measured: 6 x 5.04 GB remat clones -> 32 GB
+    # compile OOM of the assembled-MG step once surrounding layouts
+    # changed). Keeping every big array's trailing dim at K*d*d and doing
+    # the (k, b)->a reduction as a 0/1 matmul is layout-proof: the padded
+    # expansion of (T, tn, K*d*d) is ~2%.
+    K = mat.K
+    xw9 = jnp.broadcast_to(
+        xw[:, :, :, None, :], (T, tn, K, d, d)
+    ).reshape(T, tn, K * d * d)
+    prod = vals.reshape(T, tn, K * d * d) * xw9
+    import numpy as _np2
+
+    cols = _np2.arange(K * d * d)
+    M = (((cols % (d * d)) // d)[:, None] ==
+         _np2.arange(d)[None, :]).astype(_np2.float32)   # (K*d*d, d)
+    y = jnp.einsum("rtc,ca->rta", prod, jnp.asarray(M, x.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return y.reshape(T * tn, d)
 
 
