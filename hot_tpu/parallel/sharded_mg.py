@@ -461,7 +461,7 @@ def build_precond(smg: SMGStatic, F, ctx, V0, dt, cfg: MultigridConfig,
                 level.st, F, ctx, V0, dt, level.grid_m, level.active, dim,
                 scatter=scatter,
             )
-        Dinv = jnp.linalg.inv(Db)
+        Dinv = obj_mod.sym_block_inv(Db)
         diag_inv.append(Dinv)
         need = cfg.smoother == "chebyshev" and (
             l < len(smg.levels) - 1 or cfg.coarse_solver == "smoother"

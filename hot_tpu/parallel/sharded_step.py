@@ -407,7 +407,7 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
                     st, ps.F, ctx, ps.V0, dt, grid_m, active, dim,
                     scatter=lambda _st, values, _n: scatter_fold(values),
                 )
-                return jnp.linalg.inv(D_blocks)
+                return obj_mod.sym_block_inv(D_blocks)
 
             precondition = lambda Dinv, r: jnp.einsum("nij,nj->ni", Dinv, r)
         else:

@@ -280,6 +280,41 @@ def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
     return jnp.where(active[:, None, None], D, eye[None])
 
 
+def sym_block_inv(D):
+    """Batched analytic inverse of symmetric (n, d, d) blocks, d in {2, 3}
+    (adjugate / determinant, pure elementwise VPU arithmetic).
+
+    Every block-diagonal in this solver is symmetric (SPD-projected
+    elastic blocks + identity BC rows), and jnp.linalg.inv's batched LU
+    measured 238 ms on (262k, 3, 3) on this device — this form is ~free.
+    """
+    d = D.shape[-1]
+    if d == 2:
+        a, b = D[..., 0, 0], D[..., 0, 1]
+        c = D[..., 1, 1]
+        det = a * c - b * b
+        inv_det = 1.0 / det
+        return jnp.stack(
+            [jnp.stack([c, -b], -1), jnp.stack([-b, a], -1)], -2
+        ) * inv_det[..., None, None]
+    assert d == 3, d
+    a, b, c = D[..., 0, 0], D[..., 0, 1], D[..., 0, 2]
+    e, f = D[..., 1, 1], D[..., 1, 2]
+    g = D[..., 2, 2]
+    A00 = e * g - f * f
+    A01 = c * f - b * g
+    A02 = b * f - c * e
+    A11 = a * g - c * c
+    A12 = b * c - a * f
+    A22 = a * e - b * b
+    det = a * A00 + b * A01 + c * A02
+    inv_det = 1.0 / det
+    row0 = jnp.stack([A00, A01, A02], -1)
+    row1 = jnp.stack([A01, A11, A12], -1)
+    row2 = jnp.stack([A02, A12, A22], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
 def project(obj: ObjectiveContext, r):
     """BC projection + inactive-node mask (reference: component #30)."""
     r = jnp.einsum("nij,nj->ni", obj.proj, r)

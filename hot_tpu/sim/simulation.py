@@ -346,7 +346,7 @@ def _advance_one_step_impl(
                 sol_st, sol_F, hp[0].ctx, sol_V0, dt, grid_m, active, dim,
                 scatter=sol_scatter,
             )
-            return jnp.linalg.inv(D)
+            return obj_mod.sym_block_inv(D)
 
         precond = lambda Dinv, r: jnp.einsum("nij,nj->ni", Dinv, r)
     elif sol.preconditioner == "multigrid":

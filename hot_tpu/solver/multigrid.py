@@ -580,7 +580,7 @@ def build_precond(
             eye = jnp.eye(dim, dtype=mat.vals.dtype)
             D = jnp.where(free_rows[:, None, None],
                           bsr_mod.block_diag(mat), eye[None])
-            Dinv = jnp.linalg.inv(D)
+            Dinv = obj_mod.sym_block_inv(D)
             mul, proj = _level_ops_rows(level, mat)
             v0 = free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
         else:
@@ -589,7 +589,7 @@ def build_precond(
                 level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
                 scatter=level.scatter,
             )
-            Dinv = jnp.linalg.inv(D)  # batched small-matrix inverse (d<=3)
+            Dinv = obj_mod.sym_block_inv(D)  # analytic symmetric inverse
             mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
             v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
         diag_inv.append(Dinv)
