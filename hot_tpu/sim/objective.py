@@ -287,13 +287,23 @@ def sym_block_inv(D):
     Every block-diagonal in this solver is symmetric (SPD-projected
     elastic blocks + identity BC rows), and jnp.linalg.inv's batched LU
     measured 238 ms on (262k, 3, 3) on this device — this form is ~free.
+
+    Scale-normalized for fp32: a tiny-mass boundary block m*I has
+    det = m^d which UNDERFLOWS to 0 in fp32 for m ~ 1e-30 (adjugate/0 =
+    inf -> the whole solve goes non-finite; measured: 57 dt-retries and
+    nonfinite_give_up per bench run before this guard). Dividing by the
+    max diagonal first keeps det O(1) for any well-conditioned block at
+    any scale.
     """
     d = D.shape[-1]
+    diag = jnp.stack([D[..., i, i] for i in range(d)], -1)
+    s = jnp.maximum(jnp.max(jnp.abs(diag), axis=-1), 1e-30)
+    D = D / s[..., None, None]
     if d == 2:
         a, b = D[..., 0, 0], D[..., 0, 1]
         c = D[..., 1, 1]
         det = a * c - b * b
-        inv_det = 1.0 / det
+        inv_det = 1.0 / (det * s)
         return jnp.stack(
             [jnp.stack([c, -b], -1), jnp.stack([-b, a], -1)], -2
         ) * inv_det[..., None, None]
@@ -308,7 +318,7 @@ def sym_block_inv(D):
     A12 = b * c - a * f
     A22 = a * e - b * b
     det = a * A00 + b * A01 + c * A02
-    inv_det = 1.0 / det
+    inv_det = 1.0 / (det * s)
     row0 = jnp.stack([A00, A01, A02], -1)
     row1 = jnp.stack([A01, A11, A12], -1)
     row2 = jnp.stack([A02, A12, A22], -1)

@@ -580,7 +580,12 @@ def build_precond(
             eye = jnp.eye(dim, dtype=mat.vals.dtype)
             D = jnp.where(free_rows[:, None, None],
                           bsr_mod.block_diag(mat), eye[None])
-            Dinv = obj_mod.sym_block_inv(D)
+            # jnp.linalg.inv here, NOT sym_block_inv: the analytic
+            # inverse inside the assembled-MG program triggers an
+            # XLA:TPU compiler abort (signal 6, jellyfish
+            # windowing_util.cc:636, 2026-08-21); these per-level
+            # diagonals are small, so LU cost is negligible here
+            Dinv = jnp.linalg.inv(D)
             mul, proj = _level_ops_rows(level, mat)
             v0 = free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
         else:
@@ -589,7 +594,7 @@ def build_precond(
                 level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
                 scatter=level.scatter,
             )
-            Dinv = obj_mod.sym_block_inv(D)  # analytic symmetric inverse
+            Dinv = jnp.linalg.inv(D)  # see compiler-abort note above
             mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
             v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
         diag_inv.append(Dinv)

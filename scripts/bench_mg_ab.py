@@ -103,6 +103,7 @@ def run_one(variant: str, res: int, steps: int, dt: float,
         for _ in range(steps):
             stats = sim.step(dt)
         best = min(best, (time.perf_counter() - t0) / steps)
+    events = [r["event"] for r in sim.metrics.records if r.get("event")]
     return dict(
         variant=variant,
         res=res,
@@ -115,6 +116,8 @@ def run_one(variant: str, res: int, steps: int, dt: float,
         compile_s=round(compile_s, 1),
         backend=jax.default_backend(),
         n_particles=int(sim.state.n),
+        retries=sim.retry_count,
+        events=events[-6:],
     )
 
 

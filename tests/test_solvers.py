@@ -146,3 +146,29 @@ def test_precond_refresh_step_lag():
     assert newton_s <= newton_n + 3, (newton_s, newton_n)
     assert cg_s <= 2 * cg_n + 10, (cg_s, cg_n)
     np.testing.assert_allclose(x_s, x_n, atol=5e-5)
+
+
+def test_sym_block_inv_fp32_scales():
+    """sym_block_inv must stay finite in fp32 across extreme block scales
+    (tiny-mass boundary blocks m*I with m ~ 1e-30 underflow a naive
+    adjugate determinant — the round-3 on-chip nonfinite bug)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hot_tpu.sim.objective import sym_block_inv
+
+    rng = np.random.default_rng(0)
+    for d in (2, 3):
+        A = rng.standard_normal((64, d, d))
+        spd = (A @ np.swapaxes(A, 1, 2) + 3 * np.eye(d)).astype(np.float32)
+        scales = np.concatenate(
+            [np.full(32, 1e-30), np.logspace(-8, 8, 32)]
+        ).astype(np.float32)
+        D = jnp.asarray(spd * scales[:, None, None])
+        Dinv = sym_block_inv(D)
+        assert bool(jnp.all(jnp.isfinite(Dinv))), d
+        eye = np.einsum("nij,njk->nik", np.asarray(D, np.float64),
+                        np.asarray(Dinv, np.float64))
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(d), eye.shape), atol=2e-3
+        )
