@@ -185,11 +185,15 @@ def phase_spmv(res_n: int):
     t_cap = int(((int(probe.n_active) + 255) // 256 + 1) * 256)
     tgrid = sparse_mod.build_tile_grid(state.x, cfg.dx, res, capacity=t_cap)
     tmat = bsr_tiled.structure_tiled(tgrid)
+    # scatter-free rank-1-mode assembly (the production assembly): the
+    # colliding-scatter assemble_hessian materializes (n, 27, 27, d, d)
+    # per-particle blocks — 59 GB at 128^3 / 416k particles
     tmat = jax.jit(
-        lambda m_, st_, F_, cx_, V0_, gm_: bsr_mod.assemble_hessian(
-            m_, st_, F_, cx_, V0_, dt, gm_
+        lambda m_, b_, st_, F_, cx_, V0_, gm_: bsr_mod.assemble_hessian_modes(
+            m_, b_, st_, F_, cx_, V0_, dt, gm_
         )
-    )(tmat, sysd["st"], state.F, sysd["hess"].ctx, state.V0, sysd["gm"])
+    )(tmat, sysd["bins"], sysd["st"], state.F, sysd["hess"].ctx, state.V0,
+      sysd["gm"])
     nbr = bsr_tiled.tile_neighbors(tgrid)
     jax.block_until_ready(tmat.vals)
     _mark(f"{res_n}^3: rows={n_active} block_nnz={block_nnz} "
@@ -285,6 +289,10 @@ def main():
     except Exception as e:  # noqa: BLE001
         _mark(f"{spmv_res}^3 spmv failed ({type(e).__name__}); retry 64^3")
         ex["spmv_128_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        import gc
+
+        gc.collect()
+        jax.clear_caches()       # free the failed attempt's device buffers
         r = phase_spmv(64)
         ex["spmv_res"] = 64
         OUT["unit"] = OUT["unit"].replace("128^3", "64^3")

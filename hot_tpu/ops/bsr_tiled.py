@@ -135,11 +135,19 @@ def _supercube(xn, tile: int, dim: int):
 
 
 def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
-               nbr: jax.Array, x):
+               nbr: jax.Array, x, reduce: str = "einsum"):
     """y = A x with rows in tile order; x: (capacity*tile_nodes, d).
 
     ONE whole-tile-block gather + static supertile windows (see module
     docstring). Equivalent to bsr.spmv(mat, x) — tested in tests/test_bsr.py.
+
+    reduce: "einsum" — the fused (T, tn, K, d, d) multiply-reduce; the
+    fast form standalone (measured 1.06 vs 4.9 ms at 64^3) but its R5
+    intermediate can be tile-padded 56.9x by layout assignment inside
+    LARGE programs (6 x 5 GB remat clones OOM'd the assembled-MG compile).
+    "flat" — every big intermediate keeps a K*d*d trailing dim and the
+    (k, b)->a reduction is a 0/1 matmul; layout-proof, used by the MG
+    smoother/V-cycle call sites.
     """
     dim = tgrid.dim
     tile = tgrid.tile
@@ -181,13 +189,9 @@ def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
     xf = X8.reshape(T, S**dim, d)
     xw = xf[:, sup_idx].reshape(T, tn, mat.K, d)
     vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
-    # FLAT multiply-reduce: the obvious jnp.sum(vals * xw[..., None, :],
-    # axis=(2, 4)) leaves a (T*tn, K, d, d) intermediate whose layout XLA
-    # may tile-pad 56.9x (measured: 6 x 5.04 GB remat clones -> 32 GB
-    # compile OOM of the assembled-MG step once surrounding layouts
-    # changed). Keeping every big array's trailing dim at K*d*d and doing
-    # the (k, b)->a reduction as a 0/1 matmul is layout-proof: the padded
-    # expansion of (T, tn, K*d*d) is ~2%.
+    if reduce == "einsum":
+        y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
+        return y.reshape(T * tn, d)
     K = mat.K
     xw9 = jnp.broadcast_to(
         xw[:, :, :, None, :], (T, tn, K, d, d)

@@ -333,8 +333,11 @@ def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int,
     if mat.half == 2 and level.tgrid is not None:
         from hot_tpu.ops import bsr_tiled
 
+        # reduce='flat': the einsum form's R5 intermediate OOMs the
+        # compile of large MG programs (see spmv_tiled docstring)
         rows_mul = lambda r: bsr_tiled.spmv_tiled(mat, level.tgrid,
-                                                  level.nbr, r)
+                                                  level.nbr, r,
+                                                  reduce="flat")
     else:
         rows_mul = lambda r: bsr_mod.spmv(mat, r)
 

@@ -423,7 +423,10 @@ def _rows_mul(level: MGLevel, mat):
     if mat.half == 2 and level.tgrid is not None:
         from hot_tpu.ops import bsr_tiled
 
-        return lambda w: bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w)
+        # reduce='flat': the einsum form's R5 intermediate OOMs the
+        # compile of large MG programs (see spmv_tiled docstring)
+        return lambda w: bsr_tiled.spmv_tiled(mat, level.tgrid, level.nbr, w,
+                                              reduce="flat")
     from hot_tpu.ops import bsr as bsr_mod
 
     return lambda w: bsr_mod.spmv(mat, w)
