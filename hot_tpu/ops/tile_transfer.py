@@ -100,6 +100,16 @@ def tile_binned_scatter(bins: transfer.CellBins, tgrid: sparse_mod.TileGrid,
     s = 3**dim
     vec = values.ndim == 3
     c = values.shape[2] if vec else 1
+    if c > dim:
+        # chunk wide channel counts (e.g. the dd = 9-channel block-diag
+        # scatter): the slot buffer is (cells_cap*cap, s*c) — 5.1 GB at
+        # c=9 / 800k particles (256^3); sequential dim-channel chunks let
+        # XLA reuse one 1/3-size temp
+        outs = [
+            tile_binned_scatter(bins, tgrid, nbr, values[:, :, i:i + dim])
+            for i in range(0, c, dim)
+        ]
+        return jnp.concatenate(outs, axis=-1)
     vals = (values if vec else values[:, :, None]).reshape(-1, s * c)
     cells_cap, cap = bins.p_cell.shape
 

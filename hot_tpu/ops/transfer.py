@@ -173,6 +173,15 @@ def binned_scatter(bins: CellBins, values, res: Tuple[int, ...]):
     s = 3**dim
     vec = values.ndim == 3
     c = values.shape[2] if vec else 1
+    if c > dim:
+        # chunk wide channel counts (see tile_transfer.tile_binned_scatter:
+        # the slot buffer scales with s*c — 9-channel block-diag scatters
+        # at large n want dim-channel chunks so XLA reuses one small temp)
+        outs = [
+            binned_scatter(bins, values[:, :, i:i + dim], res)
+            for i in range(0, c, dim)
+        ]
+        return jnp.concatenate(outs, axis=-1)
     vals = (values if vec else values[:, :, None]).reshape(-1, s * c)
     n = vals.shape[0]
     cells_cap, cap = bins.p_cell.shape
@@ -490,12 +499,64 @@ def p2g_mass_momentum(st: Stencil, v, C, m, n_nodes: int, scatter=default_scatte
 
     momentum_i = sum_p w_ip m_p (v_p + C_p (x_i - x_p))
     Reference: particlesToGrid (components #24/#26).
+
+    FLAT column form: both the einsum and the batched-matmul spellings of
+    the affine term leave an (n, d, s, d) broadcast temp that tile-pads
+    6.3x (XLA strength-reduces small dots back to broadcast-multiply-
+    reduce) — 4.6 GB at 800k particles, the 256^3 OOM. Strided column
+    slices keep every intermediate (n, s)-shaped.
     """
-    affine_v = v[:, None, :] + jnp.einsum("pij,pkj->pki", C, st.rel)
-    mw = m[:, None] * st.wn
+    mw, mv_vals = apic_momentum_vals(st, v, C, m)
     grid_m = scatter(st, mw, n_nodes)
-    grid_mv = scatter(st, mw[:, :, None] * affine_v, n_nodes)
+    grid_mv = scatter(st, mv_vals, n_nodes)
     return grid_m, grid_mv
+
+
+def apic_momentum_vals(st: Stencil, v, C, m):
+    """(mw (n, s), momentum values (n, s, d)) in the flat column form —
+    shared by the single-device and sharded P2G so both take identical
+    floating-point paths."""
+    n, s = st.wn.shape
+    d = v.shape[-1]
+    rel_flat = st.rel.reshape(n, s * d)
+    mw = m[:, None] * st.wn                                  # (n, s)
+    cols = []
+    for i in range(d):
+        acc = v[:, i:i + 1]                                  # (n, 1)
+        for j in range(d):
+            acc = acc + C[:, i, j:j + 1] * rel_flat[:, j::d]  # (n, s)
+        cols.append(mw * acc)
+    return mw, jnp.stack(cols, axis=-1)                      # (n, s, d)
+
+
+def grad_from_vi(st: Stencil, vi):
+    """grad[p, i, j] = sum_k vi[p, k, i] gwn[p, k, j] in flat columns."""
+    n, s, d = vi.shape
+    vi_flat = vi.reshape(n, s * d)
+    gwn_flat = st.gwn.reshape(n, s * d)
+    rows = [
+        jnp.stack(
+            [jnp.sum(vi_flat[:, i::d] * gwn_flat[:, j::d], axis=1)
+             for j in range(d)],
+            axis=-1,
+        )
+        for i in range(d)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def force_contrib(st: Stencil, PFt, V0):
+    """contrib[p, k, i] = -V0 sum_j PFt[p, i, j] gwn[p, k, j], flat."""
+    n, s = st.wn.shape
+    d = PFt.shape[-1]
+    gwn_flat = st.gwn.reshape(n, s * d)
+    cols = []
+    for i in range(d):
+        acc = PFt[:, i, 0:1] * gwn_flat[:, 0::d]
+        for j in range(1, d):
+            acc = acc + PFt[:, i, j:j + 1] * gwn_flat[:, j::d]
+        cols.append(acc)                                     # (n, s)
+    return -V0[:, None, None] * jnp.stack(cols, axis=-1)
 
 
 def g2p(st: Stencil, grid_v, dx, gather_st=default_gather_stencil,
@@ -507,22 +568,53 @@ def g2p(st: Stencil, grid_v, dx, gather_st=default_gather_stencil,
     Reference: gridToParticles (component #26).
     """
     vi = barrier(gather_st(st, grid_v))                # (n, 3^dim, dim)
-    v_p = jnp.sum(st.wn[:, :, None] * vi, axis=1)
-    grad_v = jnp.einsum("pki,pkj->pij", vi, st.gwn)
-    C = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (d_inv_factor / (dx * dx))
+    return g2p_from_vi(st, vi, dx, d_inv_factor)
+
+
+def g2p_from_vi(st: Stencil, vi, dx, d_inv_factor: float = 4.0):
+    """(v_p, grad_v, C) from already-gathered stencil values vi.
+
+    FLAT column form throughout (see p2g_mass_momentum): every (pki,pkj)
+    contraction spelled with strided (n, s) column slices so no
+    (n, d, s, d) broadcast temp exists at any spelling XLA might pick.
+    Shared by the single-device and sharded G2P.
+    """
+    n, s, d = vi.shape
+    vi_flat = vi.reshape(n, s * d)
+    gwn_flat = st.gwn.reshape(n, s * d)
+    rel_flat = st.rel.reshape(n, s * d)
+    wn = st.wn
+    c0 = d_inv_factor / (dx * dx)
+    v_cols, g_rows, c_rows = [], [], []
+    for i in range(d):
+        vi_i = vi_flat[:, i::d]                        # (n, s)
+        v_cols.append(jnp.sum(wn * vi_i, axis=1))
+        g_rows.append(jnp.stack(
+            [jnp.sum(vi_i * gwn_flat[:, j::d], axis=1) for j in range(d)],
+            axis=-1,
+        ))
+        c_rows.append(jnp.stack(
+            [c0 * jnp.sum(wn * vi_i * rel_flat[:, j::d], axis=1)
+             for j in range(d)],
+            axis=-1,
+        ))
+    v_p = jnp.stack(v_cols, axis=-1)
+    grad_v = jnp.stack(g_rows, axis=-2)                # (n, d, d)
+    C = jnp.stack(c_rows, axis=-2)
     return v_p, grad_v, C
 
 
 def velocity_gradient(st: Stencil, grid_v, gather_st=default_gather_stencil):
-    """grad_v_p = sum_i v_i (grad w_ip)^T — used by force/Hessian evals."""
+    """grad_v_p = sum_i v_i (grad w_ip)^T — used by force/Hessian evals.
+    FLAT column form (see g2p)."""
     vi = gather_st(st, grid_v)
-    return barrier(jnp.einsum("pki,pkj->pij", vi, st.gwn))
+    return barrier(grad_from_vi(st, vi))
 
 
 def scatter_force(st: Stencil, PFt, V0, n_nodes: int, scatter=default_scatter):
     """f_i = -sum_p V0_p (P F_n^T)_p grad_w_ip — elastic force scatter.
 
-    PFt: (n, dim, dim) = P(F_new) @ F_n^T per particle.
+    PFt: (n, dim, dim) = P(F_new) @ F_n^T per particle. FLAT column form
+    (see p2g_mass_momentum).
     """
-    contrib = -jnp.einsum("p,pij,pkj->pki", V0, PFt, st.gwn)
-    return scatter(st, contrib, n_nodes)
+    return scatter(st, force_contrib(st, PFt, V0), n_nodes)

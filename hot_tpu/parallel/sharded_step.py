@@ -245,10 +245,12 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
             return ext.reshape((ext_nodes,) + v_local.shape[1:])
 
         # ---- P2G ---------------------------------------------------------
-        affine_v = ps.v[:, None, :] + jnp.einsum("pij,pkj->pki", ps.C, st.rel)
-        mw = ps.m[:, None] * st.wn
+        # flat column forms shared with the single-device path
+        # (transfer.apic_momentum_vals etc.): no (n, d, s, d) broadcast
+        # temps at any spelling, and identical fp association both paths
+        mw, mv_vals = transfer.apic_momentum_vals(st, ps.v, ps.C, ps.m)
         grid_m = scatter_fold(mw)
-        grid_mv = scatter_fold(mw[:, :, None] * affine_v)
+        grid_mv = scatter_fold(mv_vals)
         active = grid_m > 0
         inv_m = jnp.where(active, 1.0 / jnp.maximum(grid_m, 1e-30), 0.0)
         v_grid = grid_mv * inv_m[:, None]
@@ -274,7 +276,7 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
 
         def grad_of(v_local):
             vi = gather_ext(v_local)[st.node_ids]
-            return jnp.einsum("pki,pkj->pij", vi, st.gwn)
+            return transfer.grad_from_vi(st, vi)
 
         def linearize(v_local):
             F_new = (jnp.eye(dim, dtype=dtype)[None] + dt * grad_of(v_local)) @ ps.F
@@ -284,8 +286,7 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
                 )
             )(F_new, ps.mu, ps.lam)
             PFt = Pstress @ jnp.swapaxes(ps.F, -1, -2)
-            contrib = -jnp.einsum("p,pij,pkj->pki", ps.V0, PFt, st.gwn)
-            f = scatter_fold(contrib)
+            f = scatter_fold(transfer.force_contrib(st, PFt, ps.V0))
             r = grid_m[:, None] * (v_local - v_star) - dt * f
             return project_r(r), ctx
 
@@ -293,11 +294,11 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
             """Per-particle Hessian-apply contributions from an extended-
             slab vector; LINEAR in ext_flat (ctx fixed)."""
             vi = ext_flat[st.node_ids]
-            grad = jnp.einsum("pki,pkj->pij", vi, st.gwn)
+            grad = transfer.grad_from_vi(st, vi)
             dF = dt * (grad @ ps.F)
             dP = jax.vmap(cm.apply_hessian)(ctx, dF)
             dPFt = dP @ jnp.swapaxes(ps.F, -1, -2)
-            return -jnp.einsum("p,pij,pkj->pki", ps.V0, dPFt, st.gwn)
+            return transfer.force_contrib(st, dPFt, ps.V0)
 
         def multiply(ctx, w_local):
             if sol.overlap_halo:
@@ -437,9 +438,7 @@ def _make_local_physics(mesh: Mesh, cfg: SimConfig, model,
 
         # ---- G2P + update ------------------------------------------------
         vi = gather_ext(v_new)[st.node_ids]
-        v_pic = jnp.sum(st.wn[:, :, None] * vi, axis=1)
-        grad_v = jnp.einsum("pki,pkj->pij", vi, st.gwn)
-        C_new = jnp.einsum("pk,pki,pkj->pij", st.wn, vi, st.rel) * (4.0 / (dx * dx))
+        v_pic, grad_v, C_new = transfer.g2p_from_vi(st, vi, dx)
         F_new = (jnp.eye(dim, dtype=dtype)[None] + dt * grad_v) @ ps.F
         if plasticity == "von_mises":
             F_new = jax.vmap(plast.VonMisesHencky.project)(

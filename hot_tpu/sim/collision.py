@@ -250,8 +250,17 @@ def grid_boundary_conditions(
                 approaching = jnp.sum((grid_v - v_obj) * nrm, axis=-1) < 0.0
                 inside = jnp.logical_and(inside, approaching)
         active = inside
-        # Sequential composition (reference applies objects in order):
-        proj = jnp.where(active[:, None, None], P_c @ proj, proj)
+        # Sequential composition (reference applies objects in order).
+        # Columnwise flat form: the batched (n, d, d) @ (n, d, d)
+        # dot_general's buffer tile-pads 56.9x (1.25 GB at 656k nodes)
+        cols = []
+        for a in range(d):
+            for b in range(d):
+                acc = P_c[:, a, 0] * proj[:, 0, b]
+                for cc in range(1, d):
+                    acc = acc + P_c[:, a, cc] * proj[:, cc, b]
+                cols.append(jnp.where(active, acc, proj[:, a, b]))
+        proj = jnp.stack(cols, axis=-1).reshape(n, d, d)
         v_bc_new = v_obj + _apply(P_c, v_bc - v_obj)
         if c.kind != STICKY and c.friction > 0.0 and grid_v is not None:
             # Coulomb friction on the pre-solve velocity: scale the

@@ -253,27 +253,79 @@ def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
 
     Node i's block gets, from each particle p with stencil node k -> i:
       B[a, b] = dt^2 V0 (dPdF : (e_a o g_k)) : (e_b o g_k),  g_k = F^T gw_k.
+
+    FLAT rank-1-mode form: the SPD-projected diagonal-space dPdF is
+    exactly M = d + 2*n_pairs rank-1 modes (see ops.bsr._mode_vectors), so
+    B_k = dt^2 V0 sum_m lam_m z_m(k) z_m(k)^T with z_m(k) = M_m (F^T gw_k)
+    — computed here with strided (n, s) column slices only. The earlier
+    vmap(vmap(apply_hessian-column)) form left (n, s, d, d)-class
+    broadcast temps that tile-pad 6.3x (4.6 GB at 800k particles — the
+    256^3 compile OOM) and cost 81 apply_hessian columns per particle.
     """
+    from hot_tpu.ops.svd import eigh_sym
+
     n, s = stencil.wn.shape
+    d = dim
+    gwn_flat = stencil.gwn.reshape(n, s * d)
+    # g_flat[:, k*d+a] = (F^T gw_k)_a = sum_b gwn[k, b] F[b, a]
+    g_cols = []
+    for a in range(d):
+        acc = F_n[:, 0, a:a + 1] * gwn_flat[:, 0::d]
+        for b in range(1, d):
+            acc = acc + F_n[:, b, a:a + 1] * gwn_flat[:, b::d]
+        g_cols.append(acc)                               # (n, s)
+    # y = g V (diagonal-space rows): y_c = sum_a g_a V[a, c]
+    y_cols = []
+    for c in range(d):
+        acc = ctx.V[:, 0, c:c + 1] * g_cols[0]
+        for a in range(1, d):
+            acc = acc + ctx.V[:, a, c:c + 1] * g_cols[a]
+        y_cols.append(acc)
+    w_eig, Q = jax.vmap(eigh_sym)(ctx.A)                 # (n, d), (n, d, d)
+    lam_scale = (dt * dt) * V0                           # (n,)
 
-    def per_particle(gwn_p, F_p, ctx_p, V0_p):
-        g = gwn_p @ F_p                                  # (s, d): rows g_k = F^T gw_k
-        eye = jnp.eye(dim, dtype=F_p.dtype)
+    # accumulate D[k][a][b] = sum_m lam_m z_m_a z_m_b, flat (n, s) per (a, b)
+    acc_ab = [[None] * d for _ in range(d)]
 
-        def block_for_node(gk):
-            # columns a: dF_a = dt * e_a g_k^T; B[:, a] = dt * dP(dF_a) g_k
-            def col(a):
-                dF = dt * jnp.outer(eye[a], gk)
-                dP = cm.apply_hessian(ctx_p, dF)
-                return dt * (dP @ gk)
+    def add_mode(z_cols, lam_m):
+        lam = (lam_scale * lam_m)[:, None]               # (n, 1)
+        for a in range(d):
+            za_l = lam * z_cols[a]
+            for b in range(a, d):
+                t = za_l * z_cols[b]
+                acc_ab[a][b] = t if acc_ab[a][b] is None else acc_ab[a][b] + t
 
-            return V0_p * jnp.stack([col(a) for a in range(dim)], axis=1)
+    for m_i in range(d):                                 # diagonal modes
+        z_cols = []
+        for e in range(d):
+            acc = (ctx.U[:, e, 0:1] * Q[:, 0, m_i:m_i + 1]) * y_cols[0]
+            for c in range(1, d):
+                acc = acc + (ctx.U[:, e, c:c + 1] * Q[:, c, m_i:m_i + 1]) * y_cols[c]
+            z_cols.append(acc)
+        add_mode(z_cols, w_eig[:, m_i])
+    inv_sqrt2 = 0.7071067811865476
+    for k_p, (i, j) in enumerate(cm._pairs(d)):          # shear-pair modes
+        zs = [
+            (ctx.U[:, e, i:i + 1] * y_cols[j] + ctx.U[:, e, j:j + 1] * y_cols[i])
+            * inv_sqrt2
+            for e in range(d)
+        ]
+        add_mode(zs, ctx.b_minus[:, k_p])
+        za = [
+            (ctx.U[:, e, i:i + 1] * y_cols[j] - ctx.U[:, e, j:j + 1] * y_cols[i])
+            * inv_sqrt2
+            for e in range(d)
+        ]
+        add_mode(za, ctx.b_plus[:, k_p])
 
-        return jax.vmap(block_for_node)(g)               # (s, d, d)
-
-    blocks = jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)    # (n, s, d, d)
+    # pack flat (n, s*d*d) in k-major (k*dd + a*d + b) order and scatter
+    cols = [None] * (d * d)
+    for a in range(d):
+        for b in range(d):
+            cols[a * d + b] = acc_ab[a][b] if a <= b else acc_ab[b][a]
+    blocks_flat = jnp.stack(cols, axis=-1)               # (n, s, dd)
     K_diag = scatter(
-        stencil, blocks.reshape(n, s, dim * dim), grid_m.shape[0]
+        stencil, blocks_flat, grid_m.shape[0]
     ).reshape(-1, dim, dim)
     eye = jnp.eye(dim, dtype=K_diag.dtype)
     D = grid_m[:, None, None] * eye[None] + K_diag

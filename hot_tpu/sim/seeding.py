@@ -24,18 +24,29 @@ def sample_box(key, lo, hi, dx, particles_per_cell: int, dtype=jnp.float32):
     lo = np.asarray(lo, np.float64)
     hi = np.asarray(hi, np.float64)
     dim = lo.shape[0]
-    # subdivide each dx-cell into k sub-cells with one jittered sample each
-    k_per_axis = int(np.ceil(particles_per_cell ** (1.0 / dim)))
-    sub_dx = dx / k_per_axis
+    # subdivide each dx-cell into per-axis sub-cells with one jittered
+    # sample each. Per-axis counts factor particles_per_cell greedily so
+    # intermediate densities are honored (the old isotropic
+    # ceil(ppc^(1/dim)) quantized 3D ppc=2..8 all to 8/cell, which made
+    # particle counts impossible to scale down at high grid res).
+    k_axes = []
+    rem = max(int(particles_per_cell), 1)
+    for i in range(dim):
+        k = int(np.ceil(rem ** (1.0 / (dim - i))))
+        k_axes.append(k)
+        rem = max(1, rem // k)
+    k_axes = np.asarray(k_axes)
+    sub_dx = dx / k_axes
     counts = np.maximum(((hi - lo) / sub_dx).round().astype(int), 1)
-    axes = [np.arange(c) * sub_dx + lo[i] + 0.5 * sub_dx for i, c in enumerate(counts)]
+    axes = [np.arange(c) * sub_dx[i] + lo[i] + 0.5 * sub_dx[i]
+            for i, c in enumerate(counts)]
     mesh = np.meshgrid(*axes, indexing="ij")
     centers = np.stack([m.reshape(-1) for m in mesh], axis=-1)
     jitter = jax.random.uniform(
-        key, centers.shape, minval=-0.45 * sub_dx, maxval=0.45 * sub_dx
-    )
+        key, centers.shape, minval=-0.45, maxval=0.45
+    ) * jnp.asarray(sub_dx, jnp.float32)[None, :]
     x = jnp.asarray(centers, dtype) + jitter.astype(dtype)
-    volume = float(sub_dx**dim)
+    volume = float(np.prod(sub_dx))
     return x, volume
 
 

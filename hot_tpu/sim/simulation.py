@@ -525,9 +525,17 @@ def _advance_one_step_impl(
     new_state = state.replace(x=x_new, v=v_p, C=C_next, F=F_new, Jp=Jp_new)
 
     # ---- diagnostics ------------------------------------------------------
-    psi = jax.vmap(lambda f, m_, l_: cm.psi_from_F(model, f, m_, l_))(
-        F_new, state.mu, state.lam
-    )
+    if cfg.compute_energy:
+        psi = jax.vmap(lambda f, m_, l_: cm.psi_from_F(model, f, m_, l_))(
+            F_new, state.mu, state.lam
+        )
+        potential = jnp.sum(state.V0 * psi)
+    else:
+        # the vmapped SVD's in-kernel (3, 3) index updates leave
+        # (n, 3, 3) scatter buffers that tile-pad 56.9x — 5 x 1.5 GB at
+        # 800k particles, purely for this diagnostic; large-scale configs
+        # turn it off (cfg.compute_energy)
+        potential = jnp.zeros((), dtype)
     stats = StepStats(
         newton_iters=result.iters,
         cg_iters=result.cg_iters,
@@ -536,7 +544,7 @@ def _advance_one_step_impl(
         converged=result.converged,
         max_velocity=jnp.max(jnp.linalg.norm(v_p, axis=-1)),
         kinetic_energy=0.5 * jnp.sum(state.m * jnp.sum(v_p * v_p, axis=-1)),
-        potential_energy=jnp.sum(state.V0 * psi),
+        potential_energy=potential,
         active_nodes=jnp.sum(active),
         active_tiles=n_tiles,
         grid_overflow=grid_overflow,

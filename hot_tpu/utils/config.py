@@ -187,6 +187,12 @@ class SimConfig:
     # required for >= 256^3 scenes). tile_capacity = max active 4^dim tiles.
     grid_backend: str = "dense"
     tile_capacity: int = 4096
+    # Per-step energy diagnostics (StepStats kinetic/potential — component
+    # #31). The potential needs one SVD sweep over all particles whose
+    # in-kernel (3, 3) index updates leave 56.9x tile-padded (n, 3, 3)
+    # scatter buffers — ~2 GB/M particles of pure diagnostics; large-scale
+    # configs turn it off.
+    compute_energy: bool = True
     # Transfer scatter implementation: "scatter" (plain XLA scatter-add,
     # fine on CPU) or "binned" (cell-binned scatter-free path — required
     # for TPU performance; XLA:TPU serializes colliding scatter-adds).

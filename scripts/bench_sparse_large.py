@@ -27,6 +27,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 VARIANTS = ("jacobi", "mg")
 
@@ -47,6 +49,9 @@ def run_one(variant: str, res: int, ppc: int, steps: int, dt: float,
         "grid_backend": "sparse",
         "tile_capacity": 0,  # filled below from the particle layout
         "transfer_impl": "binned",
+        # diagnostics-only SVD sweep costs ~2 GB/M particles in padded
+        # scatter buffers (cfg.compute_energy docstring)
+        "compute_energy": False,
     }
     if variant == "mg":
         over.update({
@@ -70,9 +75,13 @@ def run_one(variant: str, res: int, ppc: int, steps: int, dt: float,
     cfg = dataclasses.replace(cfg, tile_capacity=int(1.3 * t_count + 64))
 
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    # tiny-dt warm-up (round-3 protocol): 1-Newton executions stay under
+    # the ~60 s device deadline while the post-compile re-opt retires
     t0 = time.perf_counter()
-    stats = sim.step(dt)
+    stats = sim.step(dt / 200.0)
     compile_s = time.perf_counter() - t0
+    for _ in range(7):
+        stats = sim.step(dt / 200.0)
     for _ in range(2):
         stats = sim.step(dt)
     best = float("inf")
@@ -81,6 +90,11 @@ def run_one(variant: str, res: int, ppc: int, steps: int, dt: float,
         for _ in range(steps):
             stats = sim.step(dt)
         best = min(best, (time.perf_counter() - t0) / steps)
+    try:
+        mem = jax.devices()[0].memory_stats() or {}
+        peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:  # noqa: BLE001
+        peak_gb = None
     return dict(
         variant=variant, res=res,
         n_particles=int(sim.state.n),
@@ -91,6 +105,8 @@ def run_one(variant: str, res: int, ppc: int, steps: int, dt: float,
         newton=int(stats.newton_iters),
         cg=int(stats.cg_iters),
         converged=bool(stats.converged),
+        retries=sim.retry_count,
+        peak_hbm_gb=peak_gb,
         compile_s=round(compile_s, 1),
         backend=jax.default_backend(),
     )

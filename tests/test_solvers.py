@@ -172,3 +172,63 @@ def test_sym_block_inv_fp32_scales():
         np.testing.assert_allclose(
             eye, np.broadcast_to(np.eye(d), eye.shape), atol=2e-3
         )
+
+
+def test_elastic_block_diag_mode_form(rng):
+    """The flat rank-1-mode block-diagonal equals the direct
+    apply_hessian-column construction."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hot_tpu.models import constitutive as cm
+    from hot_tpu.ops import transfer
+    from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import objective as obj_mod
+
+    for name, dim in (("block_drop_2d", 2), ("twisting_bar_3d", 3)):
+        kwargs = dict(res=16, ppc=2) if dim == 3 else dict(res=24)
+        scene = build_scene(name, **kwargs)
+        state = scene["state"]
+        model = scene["model"]
+        cfg = scene["cfg"]
+        res = cfg.grid_res[:dim]
+        n = state.n
+        F = jnp.asarray(
+            np.asarray(state.F)
+            + 0.05 * rng.standard_normal(state.F.shape), jnp.float64)
+        ctx = jax.vmap(
+            lambda f, m_, l_: cm.hessian_context(model, f, m_, l_)
+        )(F, state.mu.astype(jnp.float64), state.lam.astype(jnp.float64))
+        st = transfer.particle_stencil(
+            jnp.asarray(state.x, jnp.float64), cfg.dx, res)
+        n_nodes = transfer.n_nodes_of(res)
+        gm = jnp.ones((n_nodes,), jnp.float64)
+        active = jnp.ones((n_nodes,), bool)
+        dt = jnp.float64(2e-3)
+        V0 = jnp.asarray(state.V0, jnp.float64)
+
+        got = obj_mod.elastic_block_diag(st, F, ctx, V0, dt, gm, active, dim)
+
+        # direct reference: 81 apply_hessian columns per particle
+        def per_particle(gwn_p, F_p, ctx_p, V0_p):
+            g = gwn_p @ F_p
+            eye = jnp.eye(dim, dtype=F_p.dtype)
+
+            def block_for_node(gk):
+                def col(a):
+                    dF = dt * jnp.outer(eye[a], gk)
+                    dP = cm.apply_hessian(ctx_p, dF)
+                    return dt * (dP @ gk)
+
+                return V0_p * jnp.stack([col(a) for a in range(dim)], axis=1)
+
+            return jax.vmap(block_for_node)(g)
+
+        blocks = jax.vmap(per_particle)(st.gwn, F, ctx, V0)
+        K = transfer.scatter_sum(
+            st.node_ids, blocks.reshape(n, -1, dim * dim), n_nodes
+        ).reshape(-1, dim, dim)
+        want = gm[:, None, None] * jnp.eye(dim, dtype=K.dtype)[None] + K
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-8, atol=1e-10)
