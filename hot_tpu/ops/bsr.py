@@ -329,40 +329,60 @@ def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
     einsum formulation pick up TPU tile padding on their tiny minor dims:
     measured 19-57x inflation = 9 GB at a coarse MG level.)
 
-    Returns (Z (n, M, s*d), lam_scaled (n, M)) with lam_scaled = dt^2 V0 lam.
+    Returns (Z_flat (n, M*s*d), lam_scaled (n, M)). Z_flat columns are
+    (m, e, k)-ordered — mode-major, component e, stencil node k minor —
+    so every (m, e) slab is a CONTIGUOUS (n, s) slice. FLAT strided-column
+    form throughout (the round-3 rule: any per-particle contraction left
+    in (n, ., ., .) tensor form tile-pads its tiny minor dims — the
+    earlier vmap-per-particle version materialized (n, M, s, d) temps
+    padded (27, 3) -> (32, 128), ~7.7 GB of traffic at 52k particles and
+    the bulk of assemble_l0's measured 1.03 s).
     """
     from hot_tpu.ops.svd import eigh_sym
 
     n, s = stencil.wn.shape
+    d = dim
     n_pairs = 1 if dim == 2 else 3
     M = dim + 2 * n_pairs
-
-    def per_particle(gwn_p, F_p, ctx_p, V0_p):
-        g = gwn_p @ F_p                              # (s, d): g_k = F^T gw_k
-        y = g @ ctx_p.V                              # (s, d): V^T g_k rows
-        w, Q = eigh_sym(ctx_p.A)                     # A = Q diag(w) Q^T
-        zs = []
-        lams = []
-        for k in range(dim):                         # diagonal modes
-            zs.append((y * Q[:, k][None, :]) @ ctx_p.U.T)
-            lams.append(w[k])
-        inv_sqrt2 = 0.7071067811865476
-        for k, (i, j) in enumerate(cm._pairs(dim)):  # shear-pair modes
-            zs.append(
-                (y[:, j:j + 1] * ctx_p.U[None, :, i]
-                 + y[:, i:i + 1] * ctx_p.U[None, :, j]) * inv_sqrt2
-            )
-            lams.append(ctx_p.b_minus[k])
-            zs.append(
-                (y[:, j:j + 1] * ctx_p.U[None, :, i]
-                 - y[:, i:i + 1] * ctx_p.U[None, :, j]) * inv_sqrt2
-            )
-            lams.append(ctx_p.b_plus[k])
-        Z = jnp.stack(zs)                            # (M, s, d)
-        lam = jnp.stack(lams) * (dt * dt * V0_p)     # (M,)
-        return Z.reshape(M, s * dim), lam
-
-    return jax.vmap(per_particle)(stencil.gwn, F_n, ctx, V0)
+    gwn_flat = stencil.gwn.reshape(n, s * d)
+    # g_cols[a][:, k] = (F^T gw_k)_a
+    g_cols = []
+    for a in range(d):
+        acc = F_n[:, 0, a:a + 1] * gwn_flat[:, 0::d]
+        for b in range(1, d):
+            acc = acc + F_n[:, b, a:a + 1] * gwn_flat[:, b::d]
+        g_cols.append(acc)
+    # y_cols[c][:, k] = (V^T g_k)_c
+    y_cols = []
+    for c in range(d):
+        acc = ctx.V[:, 0, c:c + 1] * g_cols[0]
+        for a in range(1, d):
+            acc = acc + ctx.V[:, a, c:c + 1] * g_cols[a]
+        y_cols.append(acc)
+    w_eig, Q = jax.vmap(eigh_sym)(ctx.A)             # (n, d), (n, d, d)
+    cols = []                                        # M*d slabs of (n, s)
+    lams = []
+    for m_i in range(d):                             # diagonal modes
+        for e in range(d):
+            # z_e = sum_c U[e, c] Q[c, m] y_c
+            acc = (ctx.U[:, e, 0:1] * Q[:, 0, m_i:m_i + 1]) * y_cols[0]
+            for c in range(1, d):
+                acc = acc + (ctx.U[:, e, c:c + 1] * Q[:, c, m_i:m_i + 1]) * y_cols[c]
+            cols.append(acc)
+        lams.append(w_eig[:, m_i])
+    inv_sqrt2 = 0.7071067811865476
+    for k_p, (i, j) in enumerate(cm._pairs(d)):      # shear-pair modes
+        for e in range(d):
+            cols.append((ctx.U[:, e, i:i + 1] * y_cols[j]
+                         + ctx.U[:, e, j:j + 1] * y_cols[i]) * inv_sqrt2)
+        lams.append(ctx.b_minus[:, k_p])
+        for e in range(d):
+            cols.append((ctx.U[:, e, i:i + 1] * y_cols[j]
+                         - ctx.U[:, e, j:j + 1] * y_cols[i]) * inv_sqrt2)
+        lams.append(ctx.b_plus[:, k_p])
+    Z = jnp.concatenate(cols, axis=1)                # (n, M*d*s)
+    lam = jnp.stack(lams, axis=-1) * (dt * dt) * V0[:, None]
+    return Z, lam
 
 
 def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
@@ -377,11 +397,11 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
     cells_cap, cap = bins.p_cell.shape
     sd = s * dim
 
-    Z, lam = _mode_vectors(stencil, F_n, ctx, V0, dt, dim)   # (n, M, sd), (n, M)
-    Mm = Z.shape[1]
+    Z, lam = _mode_vectors(stencil, F_n, ctx, V0, dt, dim)   # (n, M*sd), (n, M)
+    Mm = lam.shape[1]
 
     # one packed row gather into slot order (pad particle -> zero row)
-    packed = jnp.concatenate([Z.reshape(n, -1), lam], axis=1)
+    packed = jnp.concatenate([Z, lam], axis=1)
     packed = jnp.concatenate(
         [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
     )
@@ -390,9 +410,10 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
     Z_s = rows[:, : Mm * sd].reshape(cells_cap, cap * Mm, sd)
     lam_s = rows[:, Mm * sd:].reshape(cells_cap, cap * Mm)
 
-    # per-cell block sums: (x, jb, ia) = sum_q lamZ[x, q, jb] Z[x, q, ia]
+    # per-cell block sums over q = (slot, mode). Z columns are (e, k)
+    # within a mode (see _mode_vectors), so r = b*s + j, s' = a*s + i:
     B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
-    return B.reshape(cells_cap, s, dim, s, dim).transpose(0, 1, 3, 2, 4)
+    return B.reshape(cells_cap, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
 
 
 def stencil_offset_table(dim: int, s: int):
