@@ -8,6 +8,14 @@ matrix-free fused-apply time, and (when the assembled-MG step runs) the
 MG-PCG step throughput + wall-time per Newton step (BASELINE.json:2's
 second metric).
 
+Round-4 shape (VERDICT r3 #4): every phase runs in its OWN subprocess.
+Round 3's in-process phase chain left the 128^3 SpMV system resident in
+HBM while the 64^3 step phase timed — the driver-recorded steps/s sat at
+0.44 while the isolated-protocol record was 0.767. A fresh process per
+phase gives each measurement a clean device, and matches the protocol the
+records were set under (scripts/bench_mg_ab.py). The parent process never
+imports jax (any python process here claims the TPU at startup).
+
 The cumulative JSON line is re-printed after every phase, so a timeout in
 a later phase still leaves a complete record of the earlier ones (the
 driver reads the last JSON line).
@@ -27,16 +35,11 @@ Measurement protocol for this device (docs/KERNEL_PLAN.md + round 3):
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from hot_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 VERBOSE = os.environ.get("BENCH_VERBOSE") == "1"
 
 # per-chip HBM speed-of-light, GB/s (TPU v5e ~819; v5p ~2765)
@@ -49,6 +52,8 @@ def _mark(msg):
 
 
 def hbm_sol() -> float:
+    import jax
+
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
@@ -65,6 +70,9 @@ _ROUNDTRIP = None
 def roundtrip_s() -> float:
     """Fixed host->device->host latency of this connection (measured ~4-25
     ms through the axon tunnel). Subtracted from chained timings."""
+    import jax
+    import jax.numpy as jnp
+
     global _ROUNDTRIP
     if _ROUNDTRIP is None:
         f = jax.jit(lambda x: jnp.sum(x))
@@ -82,6 +90,9 @@ def roundtrip_s() -> float:
 def best_trial(fn, warm, n_trials=3, reps=10):
     """Sync-proof timing: chain `reps` data-DEPENDENT executions, force
     completion with a scalar readback, subtract the round trip."""
+    import jax
+    import jax.numpy as jnp
+
     rt = roundtrip_s()
     state = fn(warm)
     float(jnp.sum(jax.tree_util.tree_leaves(state)[0]))   # settle/warm
@@ -96,27 +107,15 @@ def best_trial(fn, warm, n_trials=3, reps=10):
     return max(best, 1e-9)
 
 
-OUT = {
-    "metric": "bsr_spmv_nnz_per_s",
-    "value": 0.0,
-    "unit": "scalar nnz/s (BSR 3x3 supertile SpMV, twisting bar 128^3 Hessian)",
-    "vs_baseline": 0.0,
-    "extra": {},
-}
-
-
-def emit():
-    print(json.dumps(OUT), flush=True)
-
-
 def _build_system(res_n: int, ppc: int):
     """Scene + stencil + bins + grid state + objective + hessian ctx."""
-    import functools
+    import jax
+    import jax.numpy as jnp
 
     from hot_tpu.ops import transfer
     from hot_tpu.scenes import build_scene
+    from hot_tpu.sim import capacity
     from hot_tpu.sim import objective as obj_mod
-    from hot_tpu.sim.simulation import Simulation
 
     scene = build_scene("twisting_bar_3d", res=res_n, ppc=ppc)
     cfg, model = scene["cfg"], scene["model"]
@@ -128,10 +127,8 @@ def _build_system(res_n: int, ppc: int):
     dtype = state.x.dtype
     dt = jnp.asarray(2e-3, dtype)
 
-    sim = Simulation.__new__(Simulation)
-    sim.cfg = cfg
-    sim.state = state
-    caps = Simulation._choose_bin_caps(sim) or (max(1024, n // 4), 16)
+    caps = capacity.plan_capacities(cfg, state.x).bin_caps \
+        or (max(1024, n // 4), 16)
 
     st = jax.jit(lambda x: transfer.particle_stencil(x, cfg.dx, res))(state.x)
     bins = jax.jit(
@@ -160,11 +157,17 @@ def _build_system(res_n: int, ppc: int):
 
 
 def _renorm(y):
+    import jax
+    import jax.numpy as jnp
+
     return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-30)
 
 
-def phase_spmv(res_n: int):
+def _phase_spmv_at(res_n: int):
     """Config-2 SpMV: supertile BSR(3x3) SpMV on the res^3 bar Hessian."""
+    import jax
+    import jax.numpy as jnp
+
     from hot_tpu.grid import sparse as sparse_mod
     from hot_tpu.ops import bsr as bsr_mod
     from hot_tpu.ops import bsr_tiled
@@ -211,30 +214,54 @@ def phase_spmv(res_n: int):
     spmv_bytes = nnz * bpe + block_nnz * (4 + dim * bpe) + n_active * 2 * dim * bpe
     sol = hbm_sol()
     return dict(
-        nnz_per_s=nnz / t_spmv,
-        spmv_ms=t_spmv * 1e3,
-        spmv_gbps=spmv_bytes / t_spmv / 1e9,
-        sol_nnz_per_s=sol * 1e9 / (spmv_bytes / max(nnz, 1)),
+        value=round(nnz / t_spmv, 0),
+        vs_baseline=round((nnz / t_spmv) / (sol * 1e9 / (spmv_bytes / max(nnz, 1))), 4),
+        spmv_res=res_n,
+        spmv_ms=round(t_spmv * 1e3, 4),
+        spmv_gbps=round(spmv_bytes / t_spmv / 1e9, 2),
         bsr_rows=n_active,
         block_nnz=block_nnz,
         particles=int(state.n),
     )
 
 
-def phase_apply(sysd):
+def phase_spmv():
+    import jax
+
+    out = dict(device=jax.devices()[0].device_kind,
+               backend=jax.default_backend(),
+               hbm_sol_gbps=hbm_sol())
+    spmv_res = int(os.environ.get("BENCH_SPMV_RES", "128"))
+    try:
+        out.update(_phase_spmv_at(spmv_res))
+    except Exception as e:  # noqa: BLE001
+        _mark(f"{spmv_res}^3 spmv failed ({type(e).__name__}); retry 64^3")
+        out["spmv_128_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        import gc
+
+        gc.collect()
+        jax.clear_caches()       # free the failed attempt's device buffers
+        out.update(_phase_spmv_at(64))
+    return out
+
+
+def phase_apply():
     """Matrix-free fused apply (the production CG hot op)."""
+    import jax
+
     from hot_tpu.sim import objective as obj_mod
 
+    sysd = _build_system(64, ppc=8)
     obj, hess, bins, res = sysd["obj"], sysd["hess"], sysd["bins"], sysd["res"]
     params = jax.jit(lambda o, c: obj_mod.hessian_params_cl(o, c))(
         obj, hess.ctx)
     apply_fn = jax.jit(lambda w: _renorm(obj_mod.multiply_cl(
         obj, params, w, bins, res)))
     w = apply_fn(sysd["vg"] + 1e-3)
-    return best_trial(apply_fn, w)
+    return dict(matfree_apply_ms=round(best_trial(apply_fn, w) * 1e3, 3))
 
 
-def phase_steps(res_n: int, variant: str, steps: int = 5):
+def _steps_at(res_n: int, variant: str, steps: int = 5):
     """Production implicit-step throughput with the tiny-dt warm protocol."""
     import dataclasses
 
@@ -253,6 +280,8 @@ def phase_steps(res_n: int, variant: str, steps: int = 5):
         sol = dataclasses.replace(sol, preconditioner="multigrid",
                                   multigrid=mg, pallas_apply=False,
                                   pallas_linearize=False)
+        if variant == "mg_asm_lag":
+            sol = dataclasses.replace(sol, precond_refresh="step")
     cfg = dataclasses.replace(cfg, solver=sol)
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
     dt = 2e-3
@@ -260,86 +289,90 @@ def phase_steps(res_n: int, variant: str, steps: int = 5):
         stats = sim.step(dt / 200.0)      # deadline-safe warm (same program)
     for _ in range(9):
         stats = sim.step(dt)
-    best = float("inf")
+    best, last = float("inf"), 0.0
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(steps):
             stats = sim.step(dt)
-        best = min(best, (time.perf_counter() - t0) / steps)
+        last = (time.perf_counter() - t0) / steps
+        best = min(best, last)
     return dict(
-        steps_per_sec=1.0 / best,
-        step_ms=best * 1e3,
+        steps_per_sec=round(1.0 / best, 3),
+        steps_per_sec_last=round(1.0 / last, 3),
+        step_ms=round(best * 1e3, 1),
         newton=int(stats.newton_iters),
         cg=int(stats.cg_iters),
+        retries=sim.retry_count,
     )
 
 
+def phase_steps():
+    r = _steps_at(64, "jacobi")
+    return dict(steps_per_sec=r["steps_per_sec"],
+                steps_per_sec_last=r["steps_per_sec_last"],
+                last_newton=r["newton"], last_cg=r["cg"],
+                step_retries=r["retries"])
+
+
+def phase_mg():
+    r = _steps_at(64, "mg_asm")
+    return dict(mg_steps_per_sec=r["steps_per_sec"],
+                mg_step_ms=r["step_ms"],
+                mg_newton=r["newton"], mg_cg=r["cg"],
+                mgpcg_ms_per_newton=round(
+                    r["step_ms"] / max(r["newton"], 1), 1))
+
+
+PHASES = {
+    "spmv": (phase_spmv, 2400),
+    "apply": (phase_apply, 1200),
+    "steps": (phase_steps, 1800),
+    "mg": (phase_mg, 2400),
+}
+
+
 def main():
-    ex = OUT["extra"]
-    ex["device"] = jax.devices()[0].device_kind
-    ex["backend"] = jax.default_backend()
-    ex["hbm_sol_gbps"] = hbm_sol()
-
-    # ---- primary: config-2 SpMV at 128^3 (fallback 64^3) -----------------
-    spmv_res = int(os.environ.get("BENCH_SPMV_RES", "128"))
-    try:
-        _mark(f"phase spmv {spmv_res}^3")
-        r = phase_spmv(spmv_res)
-        ex["spmv_res"] = spmv_res
-    except Exception as e:  # noqa: BLE001
-        _mark(f"{spmv_res}^3 spmv failed ({type(e).__name__}); retry 64^3")
-        ex["spmv_128_error"] = f"{type(e).__name__}: {str(e)[:160]}"
-        import gc
-
-        gc.collect()
-        jax.clear_caches()       # free the failed attempt's device buffers
-        r = phase_spmv(64)
-        ex["spmv_res"] = 64
-        OUT["unit"] = OUT["unit"].replace("128^3", "64^3")
-    OUT["value"] = round(r["nnz_per_s"], 0)
-    OUT["vs_baseline"] = round(r["nnz_per_s"] / r["sol_nnz_per_s"], 4)
-    ex["spmv_ms"] = round(r["spmv_ms"], 4)
-    ex["spmv_gbps"] = round(r["spmv_gbps"], 2)
-    ex["bsr_rows"] = r["bsr_rows"]
-    ex["block_nnz"] = r["block_nnz"]
-    ex["particles"] = r["particles"]
-    emit()
-
-    # ---- matrix-free fused apply at 64^3 ---------------------------------
-    try:
-        _mark("phase apply 64^3")
-        sysd = _build_system(64, ppc=8)
-        ex["matfree_apply_ms"] = round(phase_apply(sysd) * 1e3, 3)
-    except Exception as e:  # noqa: BLE001
-        ex["apply_error"] = f"{type(e).__name__}: {str(e)[:160]}"
-    emit()
-
-    # ---- production jacobi step throughput at 64^3 -----------------------
-    try:
-        _mark("phase steps jacobi 64^3")
-        r = phase_steps(64, "jacobi")
-        ex["steps_per_sec"] = round(r["steps_per_sec"], 3)
-        ex["last_newton"] = r["newton"]
-        ex["last_cg"] = r["cg"]
-    except Exception as e:  # noqa: BLE001
-        ex["steps_error"] = f"{type(e).__name__}: {str(e)[:160]}"
-    emit()
-
-    # ---- MG-PCG step metrics (BASELINE.json:2 second metric) -------------
-    if os.environ.get("BENCH_SKIP_MG") != "1":
+    """Jax-free orchestrator: one subprocess per phase (clean device)."""
+    out = {
+        "metric": "bsr_spmv_nnz_per_s",
+        "value": 0.0,
+        "unit": "scalar nnz/s (BSR 3x3 supertile SpMV, twisting bar 128^3 "
+                "Hessian)",
+        "vs_baseline": 0.0,
+        "extra": {},
+    }
+    phases = os.environ.get("BENCH_PHASES", "spmv,apply,steps,mg").split(",")
+    if os.environ.get("BENCH_SKIP_MG") == "1" and "mg" in phases:
+        phases.remove("mg")
+    for name in phases:
+        fn, tmo = PHASES[name]
+        _mark(f"phase {name} (subprocess)")
         try:
-            _mark("phase steps mg_asm 64^3")
-            r = phase_steps(64, "mg_asm")
-            ex["mg_steps_per_sec"] = round(r["steps_per_sec"], 3)
-            ex["mg_step_ms"] = round(r["step_ms"], 1)
-            ex["mg_newton"] = r["newton"]
-            ex["mg_cg"] = r["cg"]
-            ex["mgpcg_ms_per_newton"] = round(
-                r["step_ms"] / max(r["newton"], 1), 1)
-        except Exception as e:  # noqa: BLE001
-            ex["mg_error"] = f"{type(e).__name__}: {str(e)[:160]}"
-    emit()
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                capture_output=True, text=True, timeout=tmo, cwd=REPO)
+            lines = [l for l in p.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                tail = p.stderr.strip().splitlines()[-4:]
+                out["extra"][f"{name}_error"] = f"rc={p.returncode} {tail}"
+            else:
+                r = json.loads(lines[-1])
+                out["value"] = r.pop("value", out["value"])
+                out["vs_baseline"] = r.pop("vs_baseline", out["vs_baseline"])
+                if r.get("spmv_res") == 64:
+                    out["unit"] = out["unit"].replace("128^3", "64^3")
+                out["extra"].update(r)
+        except subprocess.TimeoutExpired:
+            out["extra"][f"{name}_error"] = f"timeout {tmo}s"
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        from hot_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        print(json.dumps(PHASES[sys.argv[2]][0]()), flush=True)
+    else:
+        main()

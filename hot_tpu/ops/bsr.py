@@ -342,8 +342,6 @@ def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
 
     n, s = stencil.wn.shape
     d = dim
-    n_pairs = 1 if dim == 2 else 3
-    M = dim + 2 * n_pairs
     gwn_flat = stencil.gwn.reshape(n, s * d)
     # g_cols[a][:, k] = (F^T gw_k)_a
     g_cols = []
@@ -381,6 +379,7 @@ def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
                          - ctx.U[:, e, j:j + 1] * y_cols[i]) * inv_sqrt2)
         lams.append(ctx.b_plus[:, k_p])
     Z = jnp.concatenate(cols, axis=1)                # (n, M*d*s)
+    assert len(lams) == d + 2 * len(cm._pairs(d))    # M modes emitted
     lam = jnp.stack(lams, axis=-1) * (dt * dt) * V0[:, None]
     return Z, lam
 

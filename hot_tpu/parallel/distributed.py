@@ -121,17 +121,3 @@ def checkpoint_spec(mesh: Mesh, axis: str = "x"):
         if d.process_index == jax.process_index()
     )
     return rows, len(devs)
-
-
-def local_slab_bounds(mesh: Mesh, cfg, axis: str = "x"):
-    """(lo_plane, hi_plane) of THIS process's owned grid planes — which
-    region of the grid this host's devices own under the slab partition
-    (diagnostics; the particle checkpoint shards by block row instead,
-    see checkpoint_spec)."""
-    D = mesh.shape[axis]
-    res0 = cfg.grid_res[0]
-    planes = res0 // D
-    ids, _ = checkpoint_spec(mesh, axis)
-    if not ids:
-        return (0, 0)
-    return (ids[0] * planes, (ids[-1] + 1) * planes)

@@ -6,4 +6,4 @@ numbered test scenes. Here each scene is a builder returning
 name or number via hot_tpu.cli.
 """
 
-from hot_tpu.scenes.registry import SCENES, build_scene  # noqa: F401
+from hot_tpu.scenes.registry import SCENES, build_scene, stress_state  # noqa: F401

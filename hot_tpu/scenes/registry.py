@@ -24,6 +24,23 @@ from hot_tpu.sim.state import concatenate_states, make_particle_state
 from hot_tpu.utils.config import SimConfig
 
 
+def stress_state(state, cfg, mag: float = 8.0):
+    """Impact-velocity field (radial compression + twist about z in 3D)
+    for protocol runs on scenes whose canonical initial state is at rest:
+    a rest state at tiny dt converges in 0 Newton iterations, so gate /
+    scaling / overlap records made with it measure only plumbing (VERDICT
+    r3 weak #1-3). The magnitude keeps per-step motion well under a cell
+    at the protocol dt so no dt-halving retries trigger."""
+    dim = cfg.dim
+    c = jnp.mean(state.x, axis=0)
+    r = state.x - c
+    v = -mag * r                       # radial compression toward center
+    if dim == 3:
+        v = v + mag * jnp.stack(
+            [-r[:, 1], r[:, 0], jnp.zeros_like(r[:, 2])], axis=-1)
+    return state.replace(v=v.astype(state.v.dtype))
+
+
 def block_drop_2d(res: int = 64, E: float = 1e5, dtype=jnp.float32):
     """Config 1 (BASELINE.json:7): 2D elastic block drop, 64^2, ~10k particles."""
     dx = 1.0 / res

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from hot_tpu.models import constitutive as cm
 from hot_tpu.models import plasticity as plast
 from hot_tpu.ops import transfer
+from hot_tpu.sim import capacity
 from hot_tpu.sim import collision
 from hot_tpu.sim import objective as obj_mod
 from hot_tpu.sim.state import ParticleState
@@ -577,188 +578,12 @@ class Simulation:
         self.t = 0.0
         self.step_count = 0
         self.retry_count = 0
-        self._rebuild_step(self._choose_bin_caps(), self._choose_mg_tile_caps(),
-                           self._choose_bsr_tile_cap(),
-                           self._choose_mg_coarse_cap(),
-                           self._choose_mg_bin_caps(),
-                           self._choose_mg_composed_caps())
+        self._rebuild_step(capacity.plan_capacities(cfg, state.x))
 
-    def _choose_bin_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
-        """Pick static bin capacities from the current state (host-side).
-
-        Deliberately tight: padded slot count multiplies the per-slot work
-        of the slot-major solve path (docs/KERNEL_PLAN.md "padding tax"), so
-        caps hug the measured occupancy and `step()` regrows + recompiles on
-        overflow instead (the capacity policy of SURVEY.md §7 hard-part 2).
-        """
-        cfg = self.cfg
-        impl = cfg.transfer_impl
-        if impl == "auto":
-            impl = "binned" if jax.default_backend() == "tpu" else "scatter"
-        if impl != "binned" or cfg.transfer_kernel != "quadratic":
-            # binned fast paths assume 3-wide quadratic windows (the sparse
-            # backend routes to ops.tile_transfer, same bins shape)
-            return None
-        import numpy as np
-
-        dim = cfg.dim
-        x = np.asarray(self.state.x)
-        base = np.floor(x / cfg.dx - 0.5).astype(np.int64)
-        res = np.asarray(cfg.grid_res[:dim])
-        base = np.clip(base, 0, res - 1)
-        strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
-        cells = (base * strides).sum(axis=1)
-        uniq, counts = np.unique(cells, return_counts=True)
-        cells_cap = cfg.bin_cells_capacity or int(grow * (1.15 * len(uniq) + 16))
-        cap = cfg.bin_cap or int(np.ceil(grow * (counts.max() + 1)))
-        return (cells_cap, cap)
-
-    @staticmethod
-    def _tile_count(x, res, dx, dim: int, tile: int = 4) -> int:
-        """Active-tile count at one grid spacing (host-side probe mirroring
-        grid.sparse.build_tile_grid's activation: tiles touched by any
-        clipped stencil corner)."""
-        import numpy as np
-
-        tile_res = -(-res // tile)
-        strides = np.concatenate([np.cumprod(tile_res[::-1])[::-1][1:], [1]])
-        base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
-        tids = []
-        for mask in range(2**dim):
-            sel = np.array([(mask >> a) & 1 for a in range(dim)])
-            corner = np.clip(base + 2 * sel[None, :], 0, res - 1)
-            tids.append(((corner // tile) * strides).sum(axis=1))
-        return len(np.unique(np.concatenate(tids)))
-
-    def _choose_mg_tile_caps(self, grow: float = 1.0) -> Optional[Tuple[int, ...]]:
-        """Per-MG-level static tile capacities for assembled levels
-        (both backends; sparse compact levels also size their own tile
-        grids from these — level 0 always uses cfg.tile_capacity)."""
-        cfg = self.cfg
-        sol = cfg.solver
-        if sol.preconditioner != "multigrid" or not sol.multigrid.assembled:
-            return None
-        import numpy as np
-
-        dim = cfg.dim
-        x = np.asarray(self.state.x)
-        res = np.asarray(cfg.grid_res[:dim], np.int64)
-        dx = cfg.dx
-        caps = []
-        for _ in range(sol.multigrid.levels):
-            count = self._tile_count(x, res, dx, dim)
-            caps.append(int(np.ceil(grow * (1.2 * count + 8))))
-            res = (res + 1) // 2
-            dx = dx * 2.0
-        return tuple(caps)
-
-    def _choose_mg_bin_caps(self, grow: float = 1.0):
-        """EXACT per-MG-level (cells_cap, cap) from the current particle
-        layout (the shift heuristic in build_static inflates padded slot
-        counts ~10x once the coarse cell count floors)."""
-        cfg = self.cfg
-        sol = cfg.solver
-        if (sol.preconditioner != "multigrid"
-                or self._choose_bin_caps() is None):
-            return None
-        import numpy as np
-
-        dim = cfg.dim
-        x = np.asarray(self.state.x)
-        res = np.asarray(cfg.grid_res[:dim], np.int64)
-        dx = cfg.dx
-        caps = []
-        for _ in range(sol.multigrid.levels):
-            base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
-            strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
-            cells = (base * strides).sum(axis=1)
-            uniq, counts = np.unique(cells, return_counts=True)
-            caps.append((
-                int(grow * (1.15 * len(uniq) + 16)),
-                int(np.ceil(grow * (counts.max() + 1))),
-            ))
-            res = (res + 1) // 2
-            dx = dx * 2.0
-        return tuple(caps)
-
-    def _choose_mg_coarse_cap(self, grow: float = 1.0) -> Optional[int]:
-        """Static ACTIVE-row capacity of the dense coarse factor: the
-        factor costs (cap*d)^2, so sizing it by the active coarsest nodes
-        (instead of the whole coarse grid) is what keeps deep hierarchies
-        from OOMing (604 MB at a full 16^3 coarsest, measured)."""
-        cfg = self.cfg
-        sol = cfg.solver
-        if (sol.preconditioner != "multigrid"
-                or sol.multigrid.coarse_solver != "direct"
-                or sol.multigrid.coarse_capacity is not None):
-            return None
-        import numpy as np
-
-        dim = cfg.dim
-        x = np.asarray(self.state.x)
-        L = sol.multigrid.levels
-        res = np.asarray(cfg.grid_res[:dim], np.int64)
-        dx = cfg.dx
-        for _ in range(L - 1):
-            res = (res + 1) // 2
-            dx = dx * 2.0
-        base = np.clip(np.floor(x / dx - 0.5).astype(np.int64), 0, res - 1)
-        strides = np.concatenate([np.cumprod(res[::-1])[::-1][1:], [1]])
-        ids = []
-        offs = np.stack(np.meshgrid(*([np.arange(3)] * dim), indexing="ij"),
-                        -1).reshape(-1, dim)
-        for off in offs:
-            ids.append((np.clip(base + off, 0, res - 1) * strides).sum(axis=1))
-        count = len(np.unique(np.concatenate(ids)))
-        return int(np.ceil(grow * (1.2 * count + 16)))
-
-    def _choose_mg_composed_caps(self, grow: float = 1.0) -> Optional[Tuple[int, int]]:
-        """Exact (cells_cap, cap) for the composed-Galerkin particle bins
-        of the first assembled level (matrix-free-finest hierarchies with
-        coarsening='galerkin' and assembled_from_level > 0)."""
-        cfg = self.cfg
-        sol = cfg.solver
-        mgc = sol.multigrid
-        if (sol.preconditioner != "multigrid" or not mgc.assembled
-                or mgc.assembled_from_level <= 0
-                or mgc.coarsening != "galerkin"):
-            return None
-        from hot_tpu.ops import composed as comp_mod
-
-        L = mgc.assembled_from_level
-        dim = cfg.dim
-        res_L = tuple(int(r) for r in cfg.grid_res[:dim])
-        for _ in range(L):
-            res_L = tuple((r + 1) // 2 for r in res_L)
-        return comp_mod.composed_bin_caps_host(
-            self.state.x, cfg.dx, L, res_L, dim, grow=grow
-        )
-
-    def _choose_bsr_tile_cap(self, grow: float = 1.0) -> Optional[int]:
-        """Static tile capacity for the explicit outer BSR operator
-        (matrix_free=False): tile-row layout + supertile SpMV."""
-        cfg = self.cfg
-        if cfg.solver.matrix_free or cfg.grid_backend != "dense":
-            return None
-        import numpy as np
-
-        dim = cfg.dim
-        x = np.asarray(self.state.x)
-        res = np.asarray(cfg.grid_res[:dim], np.int64)
-        count = self._tile_count(x, res, cfg.dx, dim)
-        return int(np.ceil(grow * (1.2 * count + 8)))
-
-    def _rebuild_step(self, bin_caps: Optional[Tuple[int, int]],
-                      mg_tile_caps: Optional[Tuple[int, ...]] = None,
-                      bsr_tile_cap: Optional[int] = None,
-                      mg_coarse_cap: Optional[int] = None,
-                      mg_bin_caps=None, mg_composed_caps=None):
-        self._bin_caps = bin_caps
-        self._mg_tile_caps = mg_tile_caps
-        self._bsr_tile_cap = bsr_tile_cap
-        self._mg_coarse_cap = mg_coarse_cap
-        self._mg_bin_caps = mg_bin_caps
-        self._mg_composed_caps = mg_composed_caps
+    def _rebuild_step(self, plan: capacity.CapacityPlan):
+        """(Re)trace the step program with the plan's static capacities
+        (one planner for all six tables — hot_tpu.sim.capacity)."""
+        self._plan = plan
         self._step = jax.jit(
             functools.partial(
                 advance_one_step,
@@ -766,12 +591,12 @@ class Simulation:
                 model=self.model,
                 colliders=self.colliders,
                 plasticity=self.plasticity,
-                bin_caps=bin_caps,
-                mg_tile_caps=mg_tile_caps,
-                bsr_tile_cap=bsr_tile_cap,
-                mg_coarse_cap=mg_coarse_cap,
-                mg_bin_caps=mg_bin_caps,
-                mg_composed_caps=mg_composed_caps,
+                bin_caps=plan.bin_caps,
+                mg_tile_caps=plan.mg_tile_caps,
+                bsr_tile_cap=plan.bsr_tile_cap,
+                mg_coarse_cap=plan.mg_coarse_cap,
+                mg_bin_caps=plan.mg_bin_caps,
+                mg_composed_caps=plan.mg_composed_caps,
             )
         )
 
@@ -801,56 +626,27 @@ class Simulation:
                 # capacity policy (SURVEY.md §7 hard-part 2): static tables
                 # are sized tight; on overflow, regrow + recompile (amortized)
                 # and redo the step — the overflowed result dropped particles.
-                if (self._bin_caps is None and self._mg_tile_caps is None
-                        and self._bsr_tile_cap is None
-                        and self._mg_coarse_cap is None
-                        and self._mg_composed_caps is None) or regrows >= 8:
+                old = self._plan
+                if old == capacity.CapacityPlan() or regrows >= 8:
                     raise RuntimeError(
                         f"sparse tile capacity exceeded ({int(stats.active_tiles)}"
                         f" of {self.cfg.tile_capacity} tiles); raise "
                         "cfg.tile_capacity"
                     )
                 regrows += 1
-                old = self._bin_caps
-                new_caps = old
-                if old is not None:
-                    # recompute from the CURRENT particle layout, with
-                    # headroom, forcing strict growth so the retry cannot
-                    # overflow again
-                    fresh = self._choose_bin_caps(grow=1.3) or old
-                    new_caps = (max(fresh[0], old[0] + 64), max(fresh[1], old[1] + 2))
-                new_mg = self._mg_tile_caps
-                if new_mg is not None:
-                    fresh_mg = self._choose_mg_tile_caps(grow=1.3) or new_mg
-                    new_mg = tuple(
-                        max(f, o + 8) for f, o in zip(fresh_mg, new_mg)
-                    )
-                new_bsr = self._bsr_tile_cap
-                if new_bsr is not None:
-                    fresh_bsr = self._choose_bsr_tile_cap(grow=1.3) or new_bsr
-                    new_bsr = max(fresh_bsr, new_bsr + 8)
-                new_ccap = self._mg_coarse_cap
-                if new_ccap is not None:
-                    fresh_ccap = self._choose_mg_coarse_cap(grow=1.3) or new_ccap
-                    new_ccap = max(fresh_ccap, new_ccap + 64)
-                new_mgb = self._mg_bin_caps
-                if new_mgb is not None:
-                    fresh_mgb = self._choose_mg_bin_caps(grow=1.3) or new_mgb
-                    new_mgb = tuple(
-                        (max(fc, oc + 64), max(fp, op + 2))
-                        for (fc, fp), (oc, op) in zip(fresh_mgb, new_mgb)
-                    )
-                new_cmp = self._mg_composed_caps
-                if new_cmp is not None:
-                    fresh_cmp = self._choose_mg_composed_caps(grow=1.3) or new_cmp
-                    new_cmp = (max(fresh_cmp[0], new_cmp[0] + 64),
-                               max(fresh_cmp[1], new_cmp[1] + 2))
+                # re-measure the CURRENT particle layout with headroom; the
+                # single grow rule forces strict growth so the retried step
+                # cannot overflow on the same layout again
+                fresh = capacity.plan_capacities(self.cfg, prev_state.x,
+                                                 grow=1.3)
+                plan = capacity.grow_plan(fresh, old)
                 self.metrics.log(event="bin_regrow",
-                                 old=list(old or ()), new=list(new_caps or ()),
-                                 mg=list(new_mg or ()),
-                                 bsr=new_bsr, mg_coarse=new_ccap)
-                self._rebuild_step(new_caps, new_mg, new_bsr, new_ccap,
-                                   new_mgb, new_cmp)
+                                 old=list(old.bin_caps or ()),
+                                 new=list(plan.bin_caps or ()),
+                                 mg=list(plan.mg_tile_caps or ()),
+                                 bsr=plan.bsr_tile_cap,
+                                 mg_coarse=plan.mg_coarse_cap)
+                self._rebuild_step(plan)
                 continue
             finite = bool(jnp.isfinite(stats.cn_residual)) and bool(
                 jnp.all(jnp.isfinite(new_state.x))

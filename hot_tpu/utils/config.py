@@ -61,7 +61,7 @@ class MultigridConfig:
     # offsets x 9 x fp32) — does not fit a 16 GB chip; set 1 so only the
     # coarser levels assemble. With coarsening='galerkin' the FIRST
     # assembled level is built by the composed-stencil EXACT Galerkin path
-    # (ops.composed, auto-enabled via Simulation._choose_mg_composed_caps);
+    # (ops.composed, auto-enabled via sim.capacity.plan_capacities);
     # deeper levels RAP from it.
     assembled_from_level: int = 0
     # Static row capacity of the dense coarse factor (coarse_solver =

@@ -83,7 +83,7 @@ def main():
     dt = jnp.asarray(2e-3, state.x.dtype)
 
     sim = Simulation(cfg, state, model, scene["colliders"])
-    caps = sim._choose_bin_caps() or (max(1024, n // 4), 16)
+    caps = sim._plan.bin_caps or (max(1024, n // 4), 16)
 
     st = jax.jit(lambda x: transfer.particle_stencil(x, dx, res))(state.x)
     bins = jax.jit(

@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp")
+VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp", "mg_asm1")
 
 
 def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
@@ -47,11 +47,15 @@ def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
     # levels=4 at 64^3 keeps the coarsest at 8^3 (1536 DoF): the dense
     # coarse factor is (n_nodes*d)^2 over ALL coarsest nodes, so levels=3
     # (16^3 -> 604 MB factor) OOMs the step's Newton carry on a v5e.
+    # mg_asm1: matrix-free finest + EXACT composed-stencil Galerkin from
+    # level 1 (ops.composed) — skips the finest-level assembly, measured
+    # at HALF the per-Newton hierarchy build (BASELINE.md assemble_l0).
     mg = MultigridConfig(
         levels=levels,
         smoother="chebyshev",
         coarse_solver=coarse,
         assembled=variant.startswith("mg_asm"),
+        assembled_from_level=1 if variant == "mg_asm1" else 0,
     )
     return dataclasses.replace(base, preconditioner="multigrid", multigrid=mg,
                                matrix_free=not exp)

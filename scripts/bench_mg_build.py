@@ -92,9 +92,9 @@ def main():
     sol = dataclasses.replace(cfg.solver, preconditioner="multigrid",
                               multigrid=mgc)
     sim.cfg = dataclasses.replace(cfg, solver=sol)
-    mg_tile_caps = Simulation._choose_mg_tile_caps(sim)
-    mg_bin_caps = Simulation._choose_mg_bin_caps(sim)
-    coarse_cap = Simulation._choose_mg_coarse_cap(sim)
+    mg_tile_caps = sim._plan.mg_tile_caps
+    mg_bin_caps = sim._plan.mg_bin_caps
+    coarse_cap = sim._plan.mg_coarse_cap
     mgc = dataclasses.replace(mgc, coarse_capacity=coarse_cap)
     print(f"[info] tile_caps={mg_tile_caps} coarse_cap={coarse_cap}",
           file=sys.stderr, flush=True)

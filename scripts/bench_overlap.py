@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--dt", type=float, default=1e-3)
     ap.add_argument("--tpu", action="store_true",
                     help="use real devices (default: CPU-simulated mesh)")
+    ap.add_argument("--out", default=None,
+                    help="write one JSON row per variant (jsonl)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -48,7 +50,7 @@ def main():
 
     from hot_tpu.parallel.distributed import initialize, mesh_from_config
     from hot_tpu.parallel.sharded_step import make_sharded_step
-    from hot_tpu.scenes import build_scene
+    from hot_tpu.scenes import build_scene, stress_state
     from hot_tpu.utils.config import MeshConfig
 
     initialize()
@@ -65,7 +67,10 @@ def main():
             mesh, cfg, scene["model"], scene["colliders"],
             n_max=scene["state"].n,
         )
-        state = scene["state"]
+        # stressed initial state (VERDICT r3 weak #2: the rest-state
+        # overlap record ran cg=0 — the halo-overlap code never executed
+        # in the run whose purpose was to measure it)
+        state = stress_state(scene["state"], cfg)
         t = 0.0
         # compile + warm
         state, stats = step(state, jnp.float32(args.dt), jnp.float32(t))
@@ -77,6 +82,9 @@ def main():
             t += args.dt
         jax.block_until_ready(state.x)
         dt_step = (time.perf_counter() - t0) / args.steps
+        assert int(stats.cg_iters) >= 1, (
+            "overlap protocol ran no CG — stressed state failed to "
+            "produce a real solve")
         results.append(dict(
             overlap=ov, devices=args.devices, res=args.res,
             steps_per_sec=round(1.0 / dt_step, 4),
@@ -84,7 +92,12 @@ def main():
             cg=int(stats.cg_iters), newton=int(stats.newton_iters),
             backend=jax.default_backend(),
         ))
-    print(json.dumps(results, indent=2))
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps(results, indent=2), file=sys.stderr)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def run(devices: int, base_res: int, steps: int, dt: float, tpu: bool):
 
     from hot_tpu.parallel.distributed import initialize, mesh_from_config
     from hot_tpu.parallel.sharded_step import ShardedSimulation
-    from hot_tpu.scenes import build_scene
+    from hot_tpu.scenes import build_scene, stress_state
     from hot_tpu.utils.config import MeshConfig
 
     initialize()
@@ -63,6 +63,10 @@ def run(devices: int, base_res: int, steps: int, dt: float, tpu: bool):
         V0=rep(st0.V0), mu=rep(st0.mu), lam=rep(st0.lam),
         yield_stress=rep(st0.yield_stress), Jp=rep(st0.Jp),
     )
+    # stressed initial state: the rest-state record measured newton=0
+    # cg=0 per step — protocol smoke, not scaling evidence (VERDICT r3
+    # weak #3). The impact field gives every step a real Newton solve.
+    state = stress_state(state, cfg)
 
     sim = ShardedSimulation(mesh, cfg, state, scene["model"],
                             scene["colliders"])
@@ -88,6 +92,8 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--dt", type=float, default=1e-3)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write one JSON row per device count (jsonl)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -100,12 +106,16 @@ def main():
     rows = []
     for d in args.devices:
         rows.append(run(d, args.res, args.steps, args.dt, args.tpu))
+        if rows[0]["devices"] == 1:
+            # weak-scaling efficiency vs the 1-device leg (ideal 1.0)
+            rows[-1]["efficiency"] = round(
+                rows[-1]["steps_per_sec"] / rows[0]["steps_per_sec"], 3)
         print(json.dumps(rows[-1]), flush=True)
-    if rows and rows[0]["devices"] == 1:
-        base = rows[0]["steps_per_sec"]
-        for r in rows[1:]:
-            r["efficiency"] = round(r["steps_per_sec"] / base, 3)
-    print(json.dumps(rows, indent=2))
+    print(json.dumps(rows, indent=2), file=sys.stderr)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -80,10 +80,10 @@ def main():
     sim = Simulation.__new__(Simulation)
     sim.cfg = cfg
     sim.state = state
-    bin_caps = Simulation._choose_bin_caps(sim)
-    mg_tile_caps = Simulation._choose_mg_tile_caps(sim)
-    mg_coarse_cap = Simulation._choose_mg_coarse_cap(sim)
-    mg_bin_caps = Simulation._choose_mg_bin_caps(sim)
+    bin_caps = sim._plan.bin_caps
+    mg_tile_caps = sim._plan.mg_tile_caps
+    mg_coarse_cap = sim._plan.mg_coarse_cap
+    mg_bin_caps = sim._plan.mg_bin_caps
     print(f"[info] bin_caps={bin_caps} tile_caps={mg_tile_caps} "
           f"ccap={mg_coarse_cap} mg_bin_caps={mg_bin_caps}", flush=True)
 

@@ -60,7 +60,7 @@ def main():
     print(f"res={res_n} particles={n}")
 
     st = jax.jit(lambda x: transfer.particle_stencil(x, cfg.dx, grid_res))(state.x)
-    caps = sim._choose_bin_caps() or (max(1024, n // 4), 16)
+    caps = sim._plan.bin_caps or (max(1024, n // 4), 16)
     bins = jax.jit(
         lambda x: transfer.bin_particles(x, cfg.dx, grid_res, caps[0], caps[1])
     )(state.x)

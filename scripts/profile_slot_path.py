@@ -68,7 +68,7 @@ def main():
     res = cfg.grid_res[:dim]
     n_nodes = transfer.n_nodes_of(res)
     n = state.n
-    caps = sim._choose_bin_caps() or (max(1024, n // 4), 16)
+    caps = sim._plan.bin_caps or (max(1024, n // 4), 16)
     print(f"res={res_n} particles={n} caps={caps} slots={caps[0]*caps[1]}",
           flush=True)
     rt = roundtrip()

@@ -160,7 +160,7 @@ def test_binned_slot_step_matches_scatter():
         cfg_b, scene_b["state"], scene_b["model"], scene_b["colliders"],
         plasticity=scene_b["plasticity"],
     )
-    assert sim_b._choose_bin_caps() is not None
+    assert sim_b._plan.bin_caps is not None
     assert sim_b._bin_caps is not None
 
     for k in range(12):
