@@ -148,11 +148,12 @@ def compact_node_id(grid: TileGrid, coords):
     return jnp.where(slot >= 0, out, grid.dump)
 
 
-def sparse_stencil(x, dx, grid: TileGrid) -> transfer.Stencil:
+def sparse_stencil(x, dx, grid: TileGrid,
+                   weights_impl: str = "broadcast") -> transfer.Stencil:
     """Particle stencil with COMPACTED node ids (drop-in for transfer ops)."""
     dim = x.shape[-1]
     base, w, dw = quadratic_bspline_weights(x, dx)
-    wn, gwn = tensor_weights(w, dw)
+    wn, gwn = tensor_weights(w, dw, impl=weights_impl)
     offs = stencil_offsets(dim)
     res_arr = jnp.asarray(grid.res, jnp.int32)
     coords = jnp.clip(base[:, None, :] + offs[None, :, :], 0, res_arr - 1)

@@ -156,35 +156,65 @@ def _outer_flat(a, b):
     return jnp.concatenate([a[..., i:i + 1] * b for i in range(p)], axis=-1)
 
 
-def tensor_weights(w, dw):
+def tensor_weights(w, dw, impl: str = "broadcast"):
     """Combine per-axis weights into per-stencil-node weight and gradient.
 
     Args:
       w:  (..., dim, S) per-axis weights (S = 3 quadratic, 4 cubic).
       dw: (..., dim, S) per-axis derivative weights.
+      impl: "broadcast" — (..., S, S, S) broadcast products + reshape.
+            In the per-PARTICLE stencil path XLA fuses the temp into the
+            consumers, so this is the fast form there.
+            "flat" — hierarchical _outer_flat slabs, no >2-trailing-dim
+            intermediate at any point. REQUIRED where the stencil is
+            materialized whole (the MG node-embedding stencils, which
+            cross while-loop carries): the broadcast temp then lays out
+            row-major tile-padded (S, S) -> (8, 128) — 56.9x = 12 GB at
+            a 128^3 fine level (2.1M nodes), the round-4 mg_asm OOM.
 
     Returns:
       wn:  (..., S^dim) scalar weight per stencil node.
       gwn: (..., S^dim, dim) weight gradient per stencil node.
 
-    Flat strided-column form throughout (the round-3 rule: per-entity
-    contractions left in (n, tiny, tiny, ...) tensor form tile-pad their
-    minor dims); see _outer_flat.
+    Both impls use the identical multiply association ((wx*wy)*wz), so
+    results are bitwise equal.
     """
     dim = w.shape[-2]
+    s = w.shape[-1]
+    if impl == "flat":
+        if dim == 2:
+            wx, wy = w[..., 0, :], w[..., 1, :]
+            wn = _outer_flat(wx, wy)
+            gx = _outer_flat(dw[..., 0, :], wy)
+            gy = _outer_flat(wx, dw[..., 1, :])
+            gwn = jnp.stack([gx, gy], axis=-1)
+        elif dim == 3:
+            wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
+            wxy = _outer_flat(wx, wy)                  # (..., S^2)
+            wn = _outer_flat(wxy, wz)
+            gx = _outer_flat(_outer_flat(dw[..., 0, :], wy), wz)
+            gy = _outer_flat(_outer_flat(wx, dw[..., 1, :]), wz)
+            gz = _outer_flat(wxy, dw[..., 2, :])
+            gwn = jnp.stack([gx, gy, gz], axis=-1)
+        else:
+            raise ValueError(f"dim must be 2 or 3, got {dim}")
+        return wn, gwn
     if dim == 2:
-        wx, wy = w[..., 0, :], w[..., 1, :]
-        wn = _outer_flat(wx, wy)
-        gx = _outer_flat(dw[..., 0, :], wy)
-        gy = _outer_flat(wx, dw[..., 1, :])
+        wi = w[..., 0, :, None]      # (..., S, 1)
+        wj = w[..., 1, None, :]      # (..., 1, S)
+        wn = (wi * wj).reshape(w.shape[:-2] + (s * s,))
+        gx = (dw[..., 0, :, None] * wj).reshape(w.shape[:-2] + (s * s,))
+        gy = (wi * dw[..., 1, None, :]).reshape(w.shape[:-2] + (s * s,))
         gwn = jnp.stack([gx, gy], axis=-1)
     elif dim == 3:
-        wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
-        wxy = _outer_flat(wx, wy)                  # (..., S^2)
-        wn = _outer_flat(wxy, wz)
-        gx = _outer_flat(_outer_flat(dw[..., 0, :], wy), wz)
-        gy = _outer_flat(_outer_flat(wx, dw[..., 1, :]), wz)
-        gz = _outer_flat(wxy, dw[..., 2, :])
+        wi = w[..., 0, :, None, None]
+        wj = w[..., 1, None, :, None]
+        wk = w[..., 2, None, None, :]
+        shape = w.shape[:-2] + (s * s * s,)
+        wn = (wi * wj * wk).reshape(shape)
+        gx = (dw[..., 0, :, None, None] * wj * wk).reshape(shape)
+        gy = (wi * dw[..., 1, None, :, None] * wk).reshape(shape)
+        gz = (wi * wj * dw[..., 2, None, None, :]).reshape(shape)
         gwn = jnp.stack([gx, gy, gz], axis=-1)
     else:
         raise ValueError(f"dim must be 2 or 3, got {dim}")

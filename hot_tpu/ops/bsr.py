@@ -482,12 +482,42 @@ def assemble_hessian_modes(
     )
 
 
+def _spmv_slabs(vals, xg_cols, ok):
+    """y = A x in (i, j)-SLAB form: 2D (n_rows, K) elementwise products
+    + row reductions, never a dot_general over the tiny (d, d) dims.
+
+    The einsum spelling ("rkij,rkj->ri") lowers to dot_general contracting
+    (k, j), and XLA:TPU then lays BOTH operands out with the tiny dims in
+    the (8, 128) tile minor — measured 42-57x padding = a 13.3 GB copy of
+    the level-2 operator (20288 rows, K=343) inside the 128^3 mg_asm CG
+    loop (round-4 OOM #2). vals[:, :, i, j] slices keep the row dim minor.
+
+    vals: (n_rows, K, d, d); xg_cols[j]: (n_rows, K) gathered column j of
+    x (unmasked); ok: (n_rows, K) structure mask.
+    """
+    d = vals.shape[-1]
+    ys = []
+    for i in range(d):
+        acc = None
+        for j in range(d):
+            t = vals[:, :, i, j] * xg_cols[j]
+            acc = t if acc is None else acc + t
+        ys.append(jnp.sum(jnp.where(ok, acc, 0.0), axis=1))
+    return jnp.stack(ys, axis=-1)
+
+
 def spmv(mat: BsrMatrix, x):
     """y = A x on row vectors x: (n_rows, d)."""
+    import os as _os
+    if _os.environ.get("HOT_SPMV_EINSUM") == "1":
+        safe_cols = jnp.maximum(mat.col_row, 0)
+        xg = x[safe_cols]
+        xg = jnp.where((mat.col_row >= 0)[:, :, None], xg, 0.0)
+        return jnp.einsum("rkij,rkj->ri", mat.vals, xg)
     safe_cols = jnp.maximum(mat.col_row, 0)
-    xg = x[safe_cols]                                      # (n_rows, K, d)
-    xg = jnp.where((mat.col_row >= 0)[:, :, None], xg, 0.0)
-    return jnp.einsum("rkij,rkj->ri", mat.vals, xg)
+    ok = mat.col_row >= 0
+    xg_cols = [x[:, j][safe_cols] for j in range(mat.dim)]  # d x (n_rows, K)
+    return _spmv_slabs(mat.vals, xg_cols, ok)
 
 
 def spmv_windowed(mat: BsrMatrix, x_grid):
@@ -526,16 +556,21 @@ def spmv_windowed(mat: BsrMatrix, x_grid):
     W = transfer.barrier(W)                                # materialize once
     rows = jnp.minimum(mat.node_of, n_nodes - 1)
     xw = W[rows]                                           # one big-row gather
-    xw = jnp.where((mat.node_of < n_nodes)[:, None, None], xw, 0.0)
-    return jnp.einsum("rkij,rkj->ri", mat.vals, xw)
+    ok = jnp.broadcast_to((mat.node_of < n_nodes)[:, None], xw.shape[:2])
+    return _spmv_slabs(mat.vals, [xw[:, :, j] for j in range(d)], ok)
 
 
 def spmm(mat: BsrMatrix, X):
-    """Y = A X for multi-RHS X: (n_rows, d, m) (SpMM, BASELINE.json:2)."""
+    """Y = A X for multi-RHS X: (n_rows, d, m) (SpMM, BASELINE.json:2).
+    Slab form per RHS column (see _spmv_slabs)."""
     safe_cols = jnp.maximum(mat.col_row, 0)
-    Xg = X[safe_cols]                                      # (n_rows, K, d, m)
-    Xg = jnp.where((mat.col_row >= 0)[:, :, None, None], Xg, 0.0)
-    return jnp.einsum("rkij,rkjm->rim", mat.vals, Xg)
+    ok = mat.col_row >= 0
+    cols = [
+        _spmv_slabs(mat.vals,
+                    [X[:, j, r][safe_cols] for j in range(mat.dim)], ok)
+        for r in range(X.shape[-1])
+    ]
+    return jnp.stack(cols, axis=-1)                        # (n_rows, d, m)
 
 
 def block_diag(mat: BsrMatrix):

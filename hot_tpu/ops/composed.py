@@ -99,8 +99,11 @@ def composed_node_weights(coords, L: int, dtype):
 
 
 def _tensor_w(w):
-    """Per-axis weights (n, dim, S) -> tensorized (n, S^dim) (no grads)."""
-    wn, _ = tensor_weights(w, jnp.zeros_like(w))
+    """Per-axis weights (n, dim, S) -> tensorized (n, S^dim) (no grads).
+    Flat impl: composed stencils are WIDE (S = 2^L + 3), so the broadcast
+    (n, S, S, S) temp pads to (8, 128) tiles — gigabytes at 10^5+
+    particles (the bspline 56.9x class)."""
+    wn, _ = tensor_weights(w, jnp.zeros_like(w), impl="flat")
     return wn
 
 
@@ -232,7 +235,8 @@ def assemble_composed_galerkin(
     ncells_cap = n_bins.p_cell.shape[0]
 
     # ---- elastic part: rank-1 mode blocks with COMPOSED gradients -------
-    wn, gwn = tensor_weights(comp_w, comp_dw)
+    # flat: see _tensor_w — wide-stencil broadcast temps tile-pad ~40x
+    wn, gwn = tensor_weights(comp_w, comp_dw, impl="flat")
     st_c = transfer.Stencil(
         node_ids=jnp.zeros(wn.shape, jnp.int32), wn=wn, gwn=gwn,
         rel=jnp.zeros(gwn.shape, wn.dtype),

@@ -283,17 +283,20 @@ def binned_scatter_flat(bins: CellBins, vals_flat, res: Tuple[int, ...],
 
 
 def particle_stencil(x, dx, res: Tuple[int, ...],
-                     kernel: str = "quadratic") -> Stencil:
+                     kernel: str = "quadratic",
+                     weights_impl: str = "broadcast") -> Stencil:
     """Build the transfer stencil for particle positions x: (n, dim).
 
     kernel: "quadratic" (3-wide, HOT's default) or "cubic" (4-wide,
     reference component #13's second kernel family). All downstream
     scatter/gather/objective code is width-generic; the binned/slot-major
     fast paths assume quadratic and are bypassed for cubic.
+    weights_impl: pass "flat" when the stencil is MATERIALIZED whole (MG
+    node-embedding over every fine grid node) — see bspline.tensor_weights.
     """
     dim = x.shape[-1]
     base, w, dw = bspline_weights(x, dx, kernel)
-    wn, gwn = tensor_weights(w, dw)
+    wn, gwn = tensor_weights(w, dw, impl=weights_impl)
     offs = stencil_offsets(dim, kernel_width(kernel))  # (S^dim, dim)
     coords = base[:, None, :] + offs[None, :, :]       # (n, 3^dim, dim)
     res_arr = jnp.asarray(res, dtype=jnp.int32)

@@ -29,6 +29,28 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names=tuple(axes))
 
 
+def loop_mesh_width(requested: int = 4) -> int:
+    """Device count to use for LONG collective-in-loop programs on the
+    CPU backend (test meshes, protocol runs).
+
+    XLA:CPU's in-process collective rendezvous is keyed by (RunId, op_id)
+    with no iteration sequence number (jax 0.9.0, rendezvous.h). When
+    virtual device threads outnumber physical cores, a device that gets a
+    full loop iteration ahead re-arrives at the SAME rendezvous object
+    before a preempted straggler releases it, and the runtime aborts the
+    process: `Check failed: id < num_threads` — reproduced deterministically
+    on this 2-core box with a 4-device mesh the moment a sharded CG loop
+    runs multiple iterations (impact step), and never with 2 devices
+    (scripts note, round 4). Real TPU meshes are unaffected (one process
+    per chip); only cap on the cpu backend.
+    """
+    import os
+
+    if jax.default_backend() != "cpu":
+        return requested
+    return max(2, min(requested, os.cpu_count() or requested))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 

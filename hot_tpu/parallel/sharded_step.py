@@ -99,8 +99,8 @@ def _partition_state(state: ParticleState, dx, res, D: int, n_max: int):
     blocks = ParticleState(
         x=jnp.where((m_f > 0)[..., None], x_f, pad_pos),
         v=fill(state.v, 0.0),
-        C=fill(state.C, 0.0),
-        F=fill(state.F, eye),
+        Cf=fill(state.Cf, 0.0),
+        Ff=fill(state.Ff, eye.reshape(-1)),
         m=fill(state.m, 0.0),
         V0=fill(state.V0, 0.0),
         mu=fill(state.mu, 0.0),
@@ -498,8 +498,10 @@ def _pad_template(ps: ParticleState, pad_x, dim):
     """Field values a freed slot takes (mass 0 => exact no-op)."""
     eye = jnp.eye(dim, dtype=ps.F.dtype)
     return dict(
-        x=pad_x, v=jnp.zeros((dim,), ps.v.dtype), C=jnp.zeros((dim, dim), ps.C.dtype),
-        F=eye, m=jnp.zeros((), ps.m.dtype), V0=jnp.zeros((), ps.V0.dtype),
+        x=pad_x, v=jnp.zeros((dim,), ps.v.dtype),
+        Cf=jnp.zeros((dim * dim,), ps.Cf.dtype),
+        Ff=eye.reshape(-1), m=jnp.zeros((), ps.m.dtype),
+        V0=jnp.zeros((), ps.V0.dtype),
         mu=jnp.zeros((), ps.mu.dtype), lam=jnp.zeros((), ps.lam.dtype),
         yield_stress=jnp.full((), jnp.inf, ps.yield_stress.dtype),
         Jp=jnp.ones((), ps.Jp.dtype),
@@ -544,7 +546,8 @@ def _migrate(ps: ParticleState, ids, dev, planes, dx, res, D, M, axis):
         ap = jnp.concatenate([a, jnp.asarray(pad[field], a.dtype)[None]], 0)
         return ap[idx]
 
-    fields = ("x", "v", "C", "F", "m", "V0", "mu", "lam", "yield_stress", "Jp")
+    fields = ("x", "v", "Cf", "Ff", "m", "V0", "mu", "lam", "yield_stress",
+              "Jp")
     buf_l = ParticleState(**{f: pack(getattr(ps, f), f, idx_l) for f in fields})
     buf_r = ParticleState(**{f: pack(getattr(ps, f), f, idx_r) for f in fields})
     ids_pad = jnp.concatenate([ids, jnp.full((1,), -1, ids.dtype)])

@@ -6,6 +6,16 @@ arrays. In JAX the natural form is a registered-dataclass pytree of arrays;
 "adding an attribute" is adding a field (or an entry in `extra`). Subsets
 (the reference's DisjointRanges per material) become per-particle parameter
 arrays (mu/lam/yield) so multi-material scenes stay one fused vmap.
+
+FLAT MATRIX STORAGE (round 4): the per-particle matrices C and F are
+STORED as (n, d*d) row-major flat leaves (`Cf`, `Ff`). A (n, d, d) leaf
+is a program input/output buffer, and the TPU's default row-major tiling
+pads its (d, d) minor dims to (8, 128) — measured ~42-57x, i.e. ~2 GB of
+HBM per million particles held at rest between steps (the round-3 256^3
+OOM class; docs/PROGRESS_R3.md). Flat (n, d*d) buffers lay out at ~1.1x.
+Consumers keep the matrix view through the `C`/`F` properties (a reshape,
+which inside jit is layout-free until a consumer forces it), and
+`replace()` accepts either the flat or the matrix shape.
 """
 
 from __future__ import annotations
@@ -24,8 +34,8 @@ class ParticleState:
 
     x: jax.Array            # (n, d) positions
     v: jax.Array            # (n, d) velocities
-    C: jax.Array            # (n, d, d) APIC affine velocity field
-    F: jax.Array            # (n, d, d) elastic deformation gradient
+    Cf: jax.Array           # (n, d*d) APIC affine velocity field, row-major
+    Ff: jax.Array           # (n, d*d) elastic deformation gradient, row-major
     m: jax.Array            # (n,) mass
     V0: jax.Array           # (n,) initial volume
     mu: jax.Array           # (n,) Lame mu
@@ -41,9 +51,29 @@ class ParticleState:
 
     @property
     def dim(self) -> int:
-        return self.x.shape[1]
+        return self.x.shape[-1]
+
+    @property
+    def C(self) -> jax.Array:
+        """(..., d, d) matrix view of the flat-stored APIC affine field.
+        Shape-generic so the sharded block layout (D, n_max, d*d) views as
+        (D, n_max, d, d)."""
+        d = self.dim
+        return self.Cf.reshape(self.Cf.shape[:-1] + (d, d))
+
+    @property
+    def F(self) -> jax.Array:
+        """(..., d, d) matrix view of the flat-stored deformation gradient."""
+        d = self.dim
+        return self.Ff.reshape(self.Ff.shape[:-1] + (d, d))
 
     def replace(self, **kw) -> "ParticleState":
+        """dataclasses.replace that also accepts the matrix views: passing
+        C=(..., d, d) or F=(..., d, d) stores them flat."""
+        for mat, flat in (("C", "Cf"), ("F", "Ff")):
+            if mat in kw:
+                M = kw.pop(mat)
+                kw[flat] = M.reshape(M.shape[:-2] + (-1,))
         return dataclasses.replace(self, **kw)
 
 
@@ -86,8 +116,8 @@ def make_particle_state(
     return ParticleState(
         x=x,
         v=v,
-        C=jnp.zeros((n, d, d), dtype),
-        F=jnp.broadcast_to(jnp.eye(d, dtype=dtype), (n, d, d)),
+        Cf=jnp.zeros((n, d * d), dtype),
+        Ff=jnp.broadcast_to(jnp.eye(d, dtype=dtype).reshape(-1), (n, d * d)),
         m=jnp.full((n,), density * particle_volume, dtype),
         V0=jnp.full((n,), particle_volume, dtype),
         mu=mu,
@@ -125,8 +155,8 @@ def pad_particles(state: ParticleState, multiple: int, pad_pos=None) -> Particle
     return ParticleState(
         x=pad(state.x, pad_pos),
         v=pad(state.v, jnp.zeros((d,), state.v.dtype)),
-        C=pad(state.C, jnp.zeros((d, d), state.C.dtype)),
-        F=pad(state.F, jnp.eye(d, dtype=state.F.dtype)),
+        Cf=pad(state.Cf, jnp.zeros((d * d,), state.Cf.dtype)),
+        Ff=pad(state.Ff, jnp.eye(d, dtype=state.Ff.dtype).reshape(-1)),
         m=pad(state.m, 0.0),
         V0=pad(state.V0, 0.0),
         mu=pad(state.mu, 0.0),

@@ -357,7 +357,8 @@ def build_static(
             tg_next = sparse_mod.build_tile_grid(x, nxt_dx, nxt_res,
                                                  _level_tile_cap(l + 1))
             carried_tg = tg_next
-            embed = sparse_mod.sparse_stencil(node_pos, nxt_dx, tg_next)
+            embed = sparse_mod.sparse_stencil(node_pos, nxt_dx, tg_next,
+                                              weights_impl="flat")
             n_coarse = tg_next.n_cnodes
             # inactive/dump fine nodes sit at a far position: zero their
             # embedding weights so they cannot pollute coarse sums
@@ -370,7 +371,8 @@ def build_static(
                 )
                 e_bins = TileEmbed(bins=eb, tgrid=tg_next, nbr=nbr_next)
         else:
-            embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res)
+            embed = transfer.particle_stencil(node_pos, nxt_dx, nxt_res,
+                                              weights_impl="flat")
             n_coarse = transfer.n_nodes_of(nxt_res)
             if compact_l:
                 # fine compacted pads/dump sit far away: mask their weights

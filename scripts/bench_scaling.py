@@ -59,7 +59,7 @@ def run(devices: int, base_res: int, steps: int, dt: float, tpu: bool):
     x = jnp.asarray(np.concatenate(xs, axis=0))
     rep = lambda a: jnp.concatenate([a] * devices, axis=0)
     state = type(st0)(
-        x=x, v=rep(st0.v), C=rep(st0.C), F=rep(st0.F), m=rep(st0.m),
+        x=x, v=rep(st0.v), Cf=rep(st0.Cf), Ff=rep(st0.Ff), m=rep(st0.m),
         V0=rep(st0.V0), mu=rep(st0.mu), lam=rep(st0.lam),
         yield_stress=rep(st0.yield_stress), Jp=rep(st0.Jp),
     )

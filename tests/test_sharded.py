@@ -10,7 +10,7 @@ import pytest
 
 from hot_tpu.ops import transfer
 from hot_tpu.parallel.halo import exchange_halo, fold_halo
-from hot_tpu.parallel.mesh import make_mesh
+from hot_tpu.parallel.mesh import loop_mesh_width, make_mesh
 from hot_tpu.parallel.sharded import partition_system, sharded_cg_solve
 from hot_tpu.scenes import build_scene
 from hot_tpu.sim import Simulation, collision
@@ -54,10 +54,11 @@ def _impact_system(res=32, E=1e6, dt=4e-3):
 
 def test_halo_exchange_roundtrip(rng):
     """fold_halo is the adjoint of exchange_halo: <E(x), y> == <x, F(y)>."""
-    mesh = make_mesh((8,), ("x",))
+    D = loop_mesh_width(8)
+    mesh = make_mesh((D,), ("x",))
     P_, W = 4, 6
-    x_loc = jnp.asarray(rng.standard_normal((8, P_, W)))
-    y_ext = jnp.asarray(rng.standard_normal((8, P_ + 4, W)))
+    x_loc = jnp.asarray(rng.standard_normal((D, P_, W)))
+    y_ext = jnp.asarray(rng.standard_normal((D, P_ + 4, W)))
 
     import functools
     from jax.sharding import PartitionSpec as P
@@ -66,8 +67,8 @@ def test_halo_exchange_roundtrip(rng):
         jax.shard_map, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=(P(), P()),
     )
     def both(xl, yl):
-        ex = exchange_halo(xl[0], "x", 8, 2)
-        fo = fold_halo(yl[0], "x", 8, 2)
+        ex = exchange_halo(xl[0], "x", D, 2)
+        fo = fold_halo(yl[0], "x", D, 2)
         lhs = jax.lax.psum(jnp.sum(ex * yl[0]), "x")
         rhs = jax.lax.psum(jnp.sum(xl[0] * fo), "x")
         return lhs, rhs
@@ -90,6 +91,7 @@ def test_sharded_cg_matches_single_device(n_devices):
         max_iters=1000,
     )
 
+    n_devices = loop_mesh_width(n_devices)
     mesh = make_mesh((n_devices,), ("x",))
     sys, geom, overflow = partition_system(
         parts["st"], parts["state"].F, hess.ctx, parts["state"].V0,

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hot_tpu.parallel.mesh import make_mesh
+from hot_tpu.parallel.mesh import loop_mesh_width, make_mesh
 from hot_tpu.parallel.sharded_step import make_sharded_step
 from hot_tpu.scenes import build_scene
 from hot_tpu.sim import Simulation
@@ -26,7 +26,7 @@ def test_sharded_step_3d_matches_single_device():
             colliders=scene["colliders"], plasticity=None,
         )
     )
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     step_sh = make_sharded_step(
         mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
     )
@@ -56,7 +56,7 @@ def test_sharded_step_matches_single_device(n_devices):
     ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
 
     # sharded trajectory
-    mesh = make_mesh((n_devices,), ("x",))
+    mesh = make_mesh((loop_mesh_width(n_devices),), ("x",))
     step = make_sharded_step(
         mesh, cfg, scene["model"], scene["colliders"],
         n_max=scene["state"].n,  # worst case: everything on one slab
@@ -123,7 +123,7 @@ def test_sharded_step_multigrid_matches(coarse_solver, assembled):
     ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
     assert ref_newton > 0  # impact engaged the solver
 
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     step = make_sharded_step(
         mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
     )
@@ -174,7 +174,7 @@ def test_sharded_mg_binned_assembly_and_overflow_flag():
     ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
     assert ref_newton > 0
 
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     step = make_sharded_step(
         mesh, cfg, scene["model"], scene["colliders"], n_max=n,
         mg_bin_caps=((512, n), (512, n)),
@@ -225,7 +225,7 @@ def test_sharded_galerkin_mg_matches_single_device():
     ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
     assert ref_newton > 0
 
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     step = make_sharded_step(
         mesh, cfg, scene["model"], scene["colliders"], n_max=scene["state"].n
     )
@@ -271,7 +271,7 @@ def test_migrating_step_matches_single_device():
     ref_newton = sum(r["newton_iters"] for r in sim.metrics.records)
     assert ref_newton > 0
 
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     ssim = ShardedSimulation(
         mesh, cfg, state, scene["model"], scene["colliders"],
         n_max=state.n, migrate_cap=state.n // 2,
@@ -324,7 +324,7 @@ def test_migrating_step_overflow_fallback():
         v=scene["state"].v + jnp.asarray([0.6, 0.0])[None, :]
     )
     ssim = ShardedSimulation(
-        make_mesh((4,), ("x",)), scene["cfg"], state, scene["model"],
+        make_mesh((loop_mesh_width(4),), ("x",)), scene["cfg"], state, scene["model"],
         scene["colliders"], n_max=state.n, migrate_cap=1,
     )
     for _ in range(40):
@@ -339,7 +339,7 @@ def test_overlap_halo_matches():
 
     scene = build_scene("block_drop_2d", res=32, dtype=jnp.float64)
     cfg = scene["cfg"]
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     results = {}
     for ov in (False, True):
         c = dataclasses.replace(
@@ -373,7 +373,7 @@ def test_migration_tight_cap_soak():
         v=scene["state"].v + jnp.asarray([0.3, 0.0])[None, :]
     )
     cfg = scene["cfg"]
-    mesh = make_mesh((4,), ("x",))
+    mesh = make_mesh((loop_mesh_width(4),), ("x",))
     n = state.n
     # crossing-rate cap: particles drift ~v*dt per step; only the boundary
     # sliver crosses. Empirically < n//16 per step here; cap at n//12.
@@ -406,9 +406,11 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
 
     scene = build_scene("block_drop_2d", res=16, dtype=jnp.float64)
     cfg = scene["cfg"]
-    mesh = make_mesh((4,), ("x",))
+    D = loop_mesh_width(4)
+    mesh = make_mesh((D,), ("x",))
     rows, n_rows = checkpoint_spec(mesh)
-    assert n_rows == 4 and tuple(rows) == (0, 1, 2, 3)  # single process owns all
+    # single process owns every block row
+    assert n_rows == D and tuple(rows) == tuple(range(D))
 
     def new_sim():
         return ShardedSimulation(

@@ -161,7 +161,6 @@ def test_binned_slot_step_matches_scatter():
         plasticity=scene_b["plasticity"],
     )
     assert sim_b._plan.bin_caps is not None
-    assert sim_b._bin_caps is not None
 
     for k in range(12):
         sa = sim_a.step(6e-3)
@@ -220,14 +219,14 @@ def test_bin_overflow_regrows_and_matches():
         cfg_b, scene_b["state"], scene_b["model"], scene_b["colliders"],
         plasticity=scene_b["plasticity"],
     )
-    caps0 = sim_b._bin_caps
+    caps0 = sim_b._plan.bin_caps
     assert caps0[1] == 1  # deliberately too small
 
     for k in range(3):
         sa = sim_a.step(6e-3)
         sb = sim_b.step(6e-3)
         assert int(sa.newton_iters) == int(sb.newton_iters), f"step {k}"
-    assert sim_b._bin_caps[1] > 1  # regrow happened
+    assert sim_b._plan.bin_caps[1] > 1  # regrow happened
     np.testing.assert_allclose(
         np.asarray(sim_b.state.x), np.asarray(sim_a.state.x), atol=1e-9
     )

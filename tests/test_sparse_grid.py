@@ -329,7 +329,7 @@ def test_sparse_assembled_galerkin_mg_trajectory():
             # come from the composed exact-Galerkin path (ops.composed),
             # not quadrature rediscretization — the loose iteration bounds
             # below are for SUBSPACE drops (compact tiles), nothing else
-            assert sim._mg_composed_caps is not None
+            assert sim._plan.mg_composed_caps is not None
         states[name] = np.asarray(sim.state.x)
         recs = [r for r in sim.metrics.records if "newton_iters" in r]
         iters[name] = (
