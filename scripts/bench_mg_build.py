@@ -82,19 +82,19 @@ def main():
     dt = jnp.asarray(2e-3, state.x.dtype)
     n_nodes = transfer.n_nodes_of(res)
 
-    sim = Simulation.__new__(Simulation)
-    sim.cfg = cfg
-    sim.state = state
     import dataclasses
+
+    from hot_tpu.sim import capacity
 
     mgc = MultigridConfig(levels=args.levels, smoother="chebyshev",
                           coarse_solver="direct", assembled=True)
     sol = dataclasses.replace(cfg.solver, preconditioner="multigrid",
                               multigrid=mgc)
-    sim.cfg = dataclasses.replace(cfg, solver=sol)
-    mg_tile_caps = sim._plan.mg_tile_caps
-    mg_bin_caps = sim._plan.mg_bin_caps
-    coarse_cap = sim._plan.mg_coarse_cap
+    cfg_mg = dataclasses.replace(cfg, solver=sol)
+    plan = capacity.plan_capacities(cfg_mg, state.x)
+    mg_tile_caps = plan.mg_tile_caps
+    mg_bin_caps = plan.mg_bin_caps
+    coarse_cap = plan.mg_coarse_cap
     mgc = dataclasses.replace(mgc, coarse_capacity=coarse_cap)
     print(f"[info] tile_caps={mg_tile_caps} coarse_cap={coarse_cap}",
           file=sys.stderr, flush=True)

@@ -77,13 +77,13 @@ def main():
     from hot_tpu.sim.simulation import Simulation, advance_one_step
 
     # host-side caps exactly as Simulation chooses them
-    sim = Simulation.__new__(Simulation)
-    sim.cfg = cfg
-    sim.state = state
-    bin_caps = sim._plan.bin_caps
-    mg_tile_caps = sim._plan.mg_tile_caps
-    mg_coarse_cap = sim._plan.mg_coarse_cap
-    mg_bin_caps = sim._plan.mg_bin_caps
+    from hot_tpu.sim import capacity
+
+    plan = capacity.plan_capacities(cfg, state.x)
+    bin_caps = plan.bin_caps
+    mg_tile_caps = plan.mg_tile_caps
+    mg_coarse_cap = plan.mg_coarse_cap
+    mg_bin_caps = plan.mg_bin_caps
     print(f"[info] bin_caps={bin_caps} tile_caps={mg_tile_caps} "
           f"ccap={mg_coarse_cap} mg_bin_caps={mg_bin_caps}", flush=True)
 

@@ -14,9 +14,17 @@ import argparse
 import json
 
 
-def device_bytes(dev):
-    stats = dev.memory_stats()
-    return stats.get("bytes_in_use", 0)
+def buffer_bytes(shape):
+    """Total argument+output bytes of an identity-ish jitted fn on `shape`
+    from the compiled executable's memory analysis (device.memory_stats()
+    is unavailable through the axon tunnel — returns None)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda x: x * 2.0)
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    ma = fn.lower(spec).compile().memory_analysis()
+    return int(ma.argument_size_in_bytes + ma.output_size_in_bytes)
 
 
 def main():
@@ -25,27 +33,14 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     dev = jax.devices()[0]
     n = args.n
     out = {"device": dev.device_kind, "n": n}
-
-    base = device_bytes(dev)
-    a_mat = jax.device_put(jnp.ones((n, 3, 3), jnp.float32), dev)
-    a_mat.block_until_ready()
-    out["mat_bytes"] = device_bytes(dev) - base
-    del a_mat
-
-    base = device_bytes(dev)
-    a_flat = jax.device_put(jnp.ones((n, 9), jnp.float32), dev)
-    a_flat.block_until_ready()
-    out["flat_bytes"] = device_bytes(dev) - base
-    del a_flat
-
+    out["mat_bytes"] = buffer_bytes((n, 3, 3)) // 2      # per buffer
+    out["flat_bytes"] = buffer_bytes((n, 9)) // 2
     out["unpadded_bytes"] = n * 9 * 4
-    if out["flat_bytes"]:
-        out["mat_over_flat"] = round(out["mat_bytes"] / max(out["flat_bytes"], 1), 1)
+    out["mat_over_flat"] = round(out["mat_bytes"] / max(out["flat_bytes"], 1), 1)
     out["mat_expansion"] = round(out["mat_bytes"] / out["unpadded_bytes"], 1)
     out["flat_expansion"] = round(out["flat_bytes"] / out["unpadded_bytes"], 1)
     print(json.dumps(out))
