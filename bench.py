@@ -284,9 +284,20 @@ def _steps_at(res_n: int, variant: str, steps: int = 5):
             sol = dataclasses.replace(sol, precond_refresh="step")
     cfg = dataclasses.replace(cfg, solver=sol)
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    # pregrow: no bin_regrow recompile mid-protocol (the regrown executable
+    # re-enters the re-opt window and the timed loops run young)
+    from hot_tpu.sim import capacity
+
+    sim._rebuild_step(capacity.plan_capacities(cfg, sim.state.x, grow=1.3))
     dt = 2e-3
     for _ in range(12):
         stats = sim.step(dt / 200.0)      # deadline-safe warm (same program)
+    # graded dt ramp: full-dt multi-Newton steps inside the re-opt window
+    # cross the ~60 s execution deadline in the device's slow state
+    for _ in range(5):
+        stats = sim.step(dt / 20.0)
+    for _ in range(3):
+        stats = sim.step(dt / 4.0)
     for _ in range(9):
         stats = sim.step(dt)
     best, last = float("inf"), 0.0

@@ -12,13 +12,15 @@ couples nodes at per-axis offsets in [-2, 2], so every row has at most
 K = 5^dim neighbor blocks at KNOWN geometric offsets — column structure is
 implicit (node coords + offset), stored as a compressed active-row table:
 
-  vals:      (n_rows, K, d, d)  block values (zero-padded)
+  vals:      (n_rows, K*d*d)    block values, FLAT k-major (i,j)-minor
+                                (column k*dd + i*d + j; zero-padded)
   col_row:   (n_rows, K) int32  neighbor's row index, -1 if absent/inactive
   node_of:   (n_rows,) int32    flat node id per row
   row_of:    (n_nodes,) int32   inverse map, -1 for inactive nodes
 
-SpMV = one gather + one einsum — the shape XLA/TPU vectorizes well; the
-Pallas tiled variant drops in underneath later with the same interface.
+SpMV = one gather + (i, j)-slab products over strided (n_rows, K) column
+slices (no dot_general over tiny dims — see _spmv_slabs); the Pallas
+tiled variant drops in underneath with the same interface.
 n_rows is a static capacity (padded), so assembly/SpMV live inside jit
 without dynamic shapes (SURVEY.md §7 hard part 2).
 """
@@ -40,7 +42,13 @@ import dataclasses
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BsrMatrix:
-    vals: jax.Array      # (n_rows, K, d, d), K = (2*half+1)^dim
+    vals: jax.Array      # (n_rows, K*d*d) flat k-major, K = (2*half+1)^dim
+    # FLAT storage (round 4): a (n_rows, K, d, d) leaf forces row-major
+    # re-materializations tile-padded (d, d) -> (8, 128) = 56.9x at every
+    # reshape-merge consumer (the next RAP level, the dense factor) and
+    # einsum operand — a single 13.27 GB HLO temp at 128^3 levels>=1.
+    # Flat vals make the K*dd -> (K, d, d) direction a SPLIT (layout-safe)
+    # and every consumer a strided-column slab.
     col_row: jax.Array   # (n_rows, K) int32, -1 = absent
     node_of: jax.Array   # (n_rows,) int32 flat node id (n_nodes = invalid pad)
     row_of: jax.Array    # (n_nodes,) int32, -1 = inactive
@@ -115,7 +123,7 @@ def structure(active, res: Tuple[int, ...], capacity: int, half: int = 2) -> Bsr
     col_row = jnp.where(in_domain, row_of[nids], -1)
     valid_row = node_of < transfer.n_nodes_of(res)
     col_row = jnp.where(valid_row[:, None], col_row, -1)
-    dtypeK = jnp.zeros((capacity, K, dim, dim))
+    dtypeK = jnp.zeros((capacity, K * dim * dim))
     return BsrMatrix(vals=dtypeK, col_row=col_row, node_of=node_of, row_of=row_of,
                      res=tuple(res), half=half)
 
@@ -180,11 +188,9 @@ def assemble_hessian(
 def _finalize_vals(mat: BsrMatrix, vals_flat, grid_m, n_nodes: int,
                    dim: int, K: int):
     """Assembly tail in FLAT (n_rows, K*d*d) layout: add the center-offset
-    inertia m_i I and zero absent neighbors, THEN reshape to the canonical
-    (n_rows, K, d, d). An (n_rows, K, d, d)-shaped select fusion output
-    tile-pads (d, d) -> T(4, 128) = 56.9x (measured: a single 5.04 GB HLO
-    temp that OOM'd the assembled-MG step compile at 64^3); the flat
-    select pads ~2%."""
+    inertia m_i I and zero absent neighbors. Stays flat — the canonical
+    vals layout since round 4 (an (n_rows, K, d, d) select fusion output
+    tile-pads (d, d) -> T(4, 128) = 56.9x; measured 5.04 GB at 64^3)."""
     dd = dim * dim
     center = (K - 1) // 2
     m_rows = grid_m[jnp.minimum(mat.node_of, n_nodes - 1)]
@@ -194,8 +200,7 @@ def _finalize_vals(mat: BsrMatrix, vals_flat, grid_m, n_nodes: int,
         m_rows[:, None] * eye_flat
     )
     mask = jnp.repeat(mat.col_row >= 0, dd, axis=1)       # (n_rows, K*dd)
-    vals_flat = jnp.where(mask, vals_flat, 0.0)
-    return vals_flat.reshape(mat.n_rows, K, dim, dim)
+    return jnp.where(mask, vals_flat, 0.0)
 
 
 def dpdf_tensor(ctx, dim: int):
@@ -492,32 +497,31 @@ def _spmv_slabs(vals, xg_cols, ok):
     the level-2 operator (20288 rows, K=343) inside the 128^3 mg_asm CG
     loop (round-4 OOM #2). vals[:, :, i, j] slices keep the row dim minor.
 
-    vals: (n_rows, K, d, d); xg_cols[j]: (n_rows, K) gathered column j of
-    x (unmasked); ok: (n_rows, K) structure mask.
+    vals: (n_rows, K*d*d) flat k-major; xg_cols[j]: (n_rows, K) gathered
+    column j of x (unmasked); ok: (n_rows, K) structure mask.
     """
-    d = vals.shape[-1]
+    d = len(xg_cols)
+    dd = d * d
     ys = []
     for i in range(d):
         acc = None
         for j in range(d):
-            t = vals[:, :, i, j] * xg_cols[j]
+            t = vals[:, i * d + j::dd] * xg_cols[j]     # strided (n_rows, K)
             acc = t if acc is None else acc + t
         ys.append(jnp.sum(jnp.where(ok, acc, 0.0), axis=1))
     return jnp.stack(ys, axis=-1)
 
 
 def spmv(mat: BsrMatrix, x):
-    """y = A x on row vectors x: (n_rows, d)."""
-    import os as _os
-    if _os.environ.get("HOT_SPMV_EINSUM") == "1":
-        safe_cols = jnp.maximum(mat.col_row, 0)
-        xg = x[safe_cols]
-        xg = jnp.where((mat.col_row >= 0)[:, :, None], xg, 0.0)
-        return jnp.einsum("rkij,rkj->ri", mat.vals, xg)
+    """y = A x on row vectors x: (n_rows, d).
+
+    ONE gather (dynamic-indexed ops carry ~ms fixed latency on this
+    device — d separate column gathers cost a measured 6x on the V-cycle,
+    513 vs 84 ms/cycle), then layout-safe (n_rows, K) slices as slabs."""
     safe_cols = jnp.maximum(mat.col_row, 0)
     ok = mat.col_row >= 0
-    xg_cols = [x[:, j][safe_cols] for j in range(mat.dim)]  # d x (n_rows, K)
-    return _spmv_slabs(mat.vals, xg_cols, ok)
+    xg = x[safe_cols]                                      # (n_rows, K, d)
+    return _spmv_slabs(mat.vals, [xg[:, :, j] for j in range(mat.dim)], ok)
 
 
 def spmv_windowed(mat: BsrMatrix, x_grid):
@@ -562,12 +566,13 @@ def spmv_windowed(mat: BsrMatrix, x_grid):
 
 def spmm(mat: BsrMatrix, X):
     """Y = A X for multi-RHS X: (n_rows, d, m) (SpMM, BASELINE.json:2).
-    Slab form per RHS column (see _spmv_slabs)."""
+    ONE gather, then slab form per RHS column (see _spmv_slabs/spmv)."""
     safe_cols = jnp.maximum(mat.col_row, 0)
     ok = mat.col_row >= 0
+    Xg = X[safe_cols]                                      # (n_rows, K, d, m)
     cols = [
         _spmv_slabs(mat.vals,
-                    [X[:, j, r][safe_cols] for j in range(mat.dim)], ok)
+                    [Xg[:, :, j, r] for j in range(mat.dim)], ok)
         for r in range(X.shape[-1])
     ]
     return jnp.stack(cols, axis=-1)                        # (n_rows, d, m)
@@ -575,7 +580,10 @@ def spmm(mat: BsrMatrix, X):
 
 def block_diag(mat: BsrMatrix):
     """(n_rows, d, d) diagonal blocks (block-Jacobi)."""
-    return mat.vals[:, (mat.K - 1) // 2]
+    d = mat.dim
+    dd = d * d
+    c = (mat.K - 1) // 2
+    return mat.vals[:, c * dd:(c + 1) * dd].reshape(mat.n_rows, d, d)
 
 
 def grid_vector_to_rows(mat: BsrMatrix, v):
@@ -600,7 +608,7 @@ def to_scipy(mat: BsrMatrix):
     d = mat.dim
     n = mat.n_rows
     A = np.zeros((n * d, n * d))
-    vals = np.asarray(mat.vals)
+    vals = np.asarray(mat.vals).reshape(n, mat.K, d, d)
     col = np.asarray(mat.col_row)
     for r in range(n):
         for k in range(col.shape[1]):

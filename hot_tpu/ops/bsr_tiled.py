@@ -80,7 +80,7 @@ def structure_tiled(tgrid: sparse_mod.TileGrid, half: int = 2) -> bsr_mod.BsrMat
     nids = jnp.sum(jnp.clip(ncoords, 0, res_arr - 1) * strides[None, None, :], axis=-1)
     col_row = jnp.where(in_dom & valid[:, None], row_of[nids], -1)
     K = (2 * half + 1) ** dim
-    vals = jnp.zeros((capacity, K, dim, dim))
+    vals = jnp.zeros((capacity, K * dim * dim))     # flat k-major storage
     return bsr_mod.BsrMatrix(
         vals=vals, col_row=col_row, node_of=node_of, row_of=row_of,
         res=tuple(res), half=half,
@@ -188,15 +188,16 @@ def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
 
     xf = X8.reshape(T, S**dim, d)
     xw = xf[:, sup_idx].reshape(T, tn, mat.K, d)
-    vals = mat.vals.reshape((T, tn) + mat.vals.shape[1:])      # (T, tn, K, d, d)
-    if reduce == "einsum":
-        y = jnp.sum(vals * xw[:, :, :, None, :], axis=(2, 4))
-        return y.reshape(T * tn, d)
     K = mat.K
+    if reduce == "einsum":
+        # split (safe direction) from the flat storage
+        vals5 = mat.vals.reshape(T, tn, K, d, d)
+        y = jnp.sum(vals5 * xw[:, :, :, None, :], axis=(2, 4))
+        return y.reshape(T * tn, d)
     xw9 = jnp.broadcast_to(
         xw[:, :, :, None, :], (T, tn, K, d, d)
     ).reshape(T, tn, K * d * d)
-    prod = vals.reshape(T, tn, K * d * d) * xw9
+    prod = mat.vals.reshape(T, tn, K * d * d) * xw9
     import numpy as _np2
 
     cols = _np2.arange(K * d * d)
@@ -273,14 +274,17 @@ def assemble_hessian_modes_tiled(
             blocks[:, j].reshape(cells_cap, s, dim * dim),
             unique_indices=True,
         )
-    vals = vals[:n_rows].reshape(n_rows, K, dim, dim)
+    vals = vals[:n_rows].reshape(n_rows, K * dim * dim)
 
-    # inertia at the center offset: compacted rows align with grid_m[:-1]
+    # inertia at the center offset + structure mask, in FLAT layout
+    dd = dim * dim
     center = (K - 1) // 2
-    eye = jnp.eye(dim, dtype=vals.dtype)
-    vals = vals.at[:, center].add(grid_m[:-1, None, None] * eye[None])
-    vals = jnp.where((mat.col_row >= 0)[:, :, None, None], vals, 0.0)
-    return mat._replace(vals=vals)
+    eye_flat = jnp.eye(dim, dtype=vals.dtype).reshape(1, dd)
+    vals = vals.at[:, center * dd:(center + 1) * dd].add(
+        grid_m[:-1, None] * eye_flat
+    )
+    mask = jnp.repeat(mat.col_row >= 0, dd, axis=1)
+    return mat._replace(vals=jnp.where(mask, vals, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -342,10 +346,10 @@ def build_gather_index(tgrid: sparse_mod.TileGrid, nbr: jax.Array) -> jax.Array:
 
 
 def transpose_vals(mat: bsr_mod.BsrMatrix, dim: int) -> jax.Array:
-    """(R, K, d, d) block values -> (d*d, K, R) lane-major layout."""
-    vals = mat.vals                                             # (R, K, d, d)
-    R, K = vals.shape[0], vals.shape[1]
-    return vals.reshape(R, K, dim * dim).transpose(2, 1, 0)     # (d*d, K, R)
+    """Flat (R, K*d*d) block values -> (d*d, K, R) lane-major layout."""
+    R, K = mat.n_rows, mat.K
+    vals = mat.vals.reshape(R, K, dim * dim)                    # split (safe)
+    return vals.transpose(2, 1, 0)                              # (d*d, K, R)
 
 
 def _reduce_kernel(d: int):

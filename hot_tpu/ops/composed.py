@@ -179,32 +179,47 @@ def _rows_for_cells(cells_ext, offs_j, res_L, mat, tgrid):
 
 
 def _scatter_cell_blocks(vals, blocks, bins, res_L, mat, tgrid,
-                         width: int, half: int, diag_only: bool = False):
-    """Scatter per-cell (cells, s_j, s_i[, d, d]) blocks into the padded
+                         width: int, half: int):
+    """Scatter per-cell (cells, s_j, s_i, d, d) blocks into the padded
     vals buffer (n_rows + cells_cap, K, d*d) with per-j unique rows."""
     dim = len(res_L)
     s = width**dim
     cells_cap = bins.p_cell.shape[0]
     n_rows = mat.n_rows
     dd = vals.shape[-1]
-    d = int(round(dd ** 0.5))
     offs, off_id = _offset_tables(dim, width, half)
     dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
     for j in range(s):
         r_j = _rows_for_cells(bins.active_cells, offs[j], res_L, mat, tgrid)
         r_j = jnp.where(r_j >= 0, r_j, dump_rows)
         cols_j = jnp.asarray(off_id[j], jnp.int32)
-        if diag_only:
-            # scalar blocks * I: write the d diagonal components
-            blk = blocks[:, j][:, :, None] * jnp.eye(
-                d, dtype=vals.dtype
-            ).reshape(1, 1, dd)
-        else:
-            blk = blocks[:, j].reshape(cells_cap, s, dd)
         vals = vals.at[r_j[:, None], cols_j[None, :]].add(
-            blk, unique_indices=True
+            blocks[:, j].reshape(cells_cap, s, dd), unique_indices=True
         )
     return vals
+
+
+def _scatter_cell_scalars(scal, blocks, bins, res_L, mat, tgrid,
+                          width: int, half: int):
+    """Scatter per-cell SCALAR blocks (cells, s_j, s_i) into a padded
+    (n_rows + cells_cap, K) buffer. The caller expands to the block
+    diagonal afterwards — the old scalar * eye broadcast per j left ~27
+    live remat clones of a (cells, s, d*d) fusion (1.23 GB each = the
+    30.9 GB mg_asm1 128^3 compile OOM, round 4)."""
+    dim = len(res_L)
+    s = width**dim
+    cells_cap = bins.p_cell.shape[0]
+    n_rows = mat.n_rows
+    offs, off_id = _offset_tables(dim, width, half)
+    dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
+    for j in range(s):
+        r_j = _rows_for_cells(bins.active_cells, offs[j], res_L, mat, tgrid)
+        r_j = jnp.where(r_j >= 0, r_j, dump_rows)
+        cols_j = jnp.asarray(off_id[j], jnp.int32)
+        scal = scal.at[r_j[:, None], cols_j[None, :]].add(
+            blocks[:, j], unique_indices=True
+        )
+    return scal
 
 
 def assemble_composed_galerkin(
@@ -268,12 +283,19 @@ def assemble_composed_galerkin(
     # the particle one (sm_width <= width); its offset ids use `half` too
     m_width = round(sm ** (1.0 / dim))
     m_width = int(m_width)
-    vals = _scatter_cell_blocks(vals, Bm, n_bins, res_L, mat, tgrid,
-                                m_width, half, diag_only=True)
+    scal = jnp.zeros((n_rows + ncells_cap, mat.K), Bm.dtype)
+    scal = _scatter_cell_scalars(scal, Bm, n_bins, res_L, mat, tgrid,
+                                 m_width, half)[:n_rows]
+    scal = jnp.where(mat.col_row >= 0, scal, 0.0)   # structure mask
 
     vals = vals[:n_rows]
     vals = jnp.where((mat.col_row >= 0)[:, :, None], vals, 0.0)
-    return mat._replace(vals=vals.reshape(n_rows, mat.K, dim, dim))
+    # canonical FLAT (n_rows, K*dd) k-major storage (round 4), with the
+    # scalar mass sums added on the block diagonal via strided columns
+    vals = vals.reshape(n_rows, mat.K * dd)
+    for i in range(dim):
+        vals = vals.at[:, i * dim + i::dd].add(scal)
+    return mat._replace(vals=vals)
 
 
 def composed_bin_caps_host(x, dx, L: int, res_L, dim: int,

@@ -151,6 +151,9 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         cls = cls * 2 + (g[:, a] & 1)
 
     R_rows = A.n_rows
+    # A.vals is FLAT (R, Kf*dd); splitting the minor dim into (Kf, dd) is
+    # the layout-SAFE reshape direction (the 4D->merge direction forced a
+    # 56.9x row-major materialization — the round-4 13.27 GB OOM temp)
     ok_vals = jnp.where(
         ((A.col_row >= 0) & valid_row[:, None])[:, :, None],
         A.vals.reshape(R_rows, Kf, dd), 0.0,
@@ -221,6 +224,6 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         ok_r = valid_row & (Jc_row[:, e0] >= 0)
         rows = jnp.where(ok_r, cls * n_out + Jc_row[:, e0], dump_rows)
         buf = buf.at[rows].add(Y, unique_indices=True)
-    out = buf[: n_cls * n_out].reshape(n_cls, n_out, Kc, dim, dim).sum(0)
-    out = jnp.where((A_c.col_row >= 0)[:, :, None, None], out, 0.0)
-    return A_c._replace(vals=out)
+    out = buf[: n_cls * n_out].reshape(n_cls, n_out, Kc * dd).sum(0)
+    mask = jnp.repeat(A_c.col_row >= 0, dd, axis=1)     # (n_out, Kc*dd)
+    return A_c._replace(vals=jnp.where(mask, out, 0.0))

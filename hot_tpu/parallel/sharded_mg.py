@@ -388,8 +388,9 @@ def _diag_from_mat(level: SMGLevel, mat, dim: int, axis: str, D: int,
     planes, plane_nodes = level.planes, level.plane_nodes
     halo = level.halo
     ext_nodes = (planes + 2 * halo) * plane_nodes
+    dd = dim * dim
     center = (mat.K - 1) // 2
-    cb = mat.vals[:, center].reshape(mat.n_rows, dim * dim)
+    cb = mat.vals[:, center * dd:(center + 1) * dd]     # flat k-major slice
     cb_ext = bsr_mod.rows_to_grid_vector(mat, cb, ext_nodes)
     Dm = fold_halo(
         cb_ext.reshape(planes + 2 * halo, plane_nodes, dim * dim),
@@ -648,6 +649,7 @@ def _coarse_factor_from_mat(level: SMGLevel, mat, dim: int, axis: str,
     cc = jnp.where(ok, r_col, cap)
     flat = jnp.minimum(rr * (cap + 1) + cc, cap * (cap + 1) + cap)
     vals = jnp.where(ok[:, :, None], mat.vals.reshape(-1, mat.K, dd), 0.0)
+    # (split reshape from the flat storage — the layout-safe direction)
     A = jnp.zeros(((cap + 1) * (cap + 1), dd), vals.dtype)
     A = A.at[flat.reshape(-1)].add(vals.reshape(-1, dd))
     A = A.reshape(cap + 1, cap + 1, dim, dim)[:cap, :cap]

@@ -676,19 +676,20 @@ def _dense_factor_from_mat(mat, free_rows, dim: int):
     4096-row coarsest level.)"""
     cols = jnp.maximum(mat.col_row, 0)
     ok = (mat.col_row >= 0) & free_rows[:, None] & free_rows[cols]
-    vals = jnp.where(ok[:, :, None, None], mat.vals, 0.0)
     n_rows = mat.n_rows
     K = mat.K
+    dd = dim * dim
     r_idx = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
     # invalid entries scatter into per-offset dump columns -> all (row, col)
     # pairs are unique and XLA parallelizes the scatter
     c_idx = jnp.where(ok, cols, n_rows + jnp.arange(K, dtype=jnp.int32)[None, :])
-    A = jnp.zeros((n_rows * dim, n_rows * dim), vals.dtype)
+    A = jnp.zeros((n_rows * dim, n_rows * dim), mat.vals.dtype)
     for a in range(dim):
         for b in range(dim):
-            comp = jnp.zeros((n_rows, n_rows + K), vals.dtype)
-            comp = comp.at[r_idx, c_idx].add(vals[:, :, a, b],
-                                             unique_indices=True)
+            # flat vals: strided (n_rows, K) component slab, masked 2D
+            comp_ab = jnp.where(ok, mat.vals[:, a * dim + b::dd], 0.0)
+            comp = jnp.zeros((n_rows, n_rows + K), mat.vals.dtype)
+            comp = comp.at[r_idx, c_idx].add(comp_ab, unique_indices=True)
             A = A.at[a::dim, b::dim].set(comp[:, :n_rows])
     # identity on non-free DoFs keeps the factorization well posed
     diag_fix = jnp.repeat(~free_rows, dim).astype(A.dtype)

@@ -267,8 +267,8 @@ def test_rap_tiled_matches_dense_on_active_tiles(rng):
     # compare row blocks through the dense node ids
     node_of_t = np.asarray(Ac_tiled.node_of)
     row_of_d = np.asarray(Ac_dense.row_of)
-    vt = np.asarray(Ac_tiled.vals)
-    vd = np.asarray(Ac_dense.vals)
+    vt = np.asarray(Ac_tiled.vals).reshape(Ac_tiled.n_rows, Ac_tiled.K, -1)
+    vd = np.asarray(Ac_dense.vals).reshape(Ac_dense.n_rows, Ac_dense.K, -1)
     ct = np.asarray(Ac_tiled.col_row)
     cd = np.asarray(Ac_dense.col_row)
     checked = 0
