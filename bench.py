@@ -277,9 +277,11 @@ def _steps_at(res_n: int, variant: str, steps: int = 5):
     else:
         mg = MultigridConfig(levels=4, smoother="chebyshev",
                              coarse_solver="direct", assembled=True)
+        # max_newton=3 bounds one execution under the ~60 s device
+        # deadline (MG converges in 2-3; see bench_mg_ab.solver_for)
         sol = dataclasses.replace(sol, preconditioner="multigrid",
                                   multigrid=mg, pallas_apply=False,
-                                  pallas_linearize=False)
+                                  pallas_linearize=False, max_newton=3)
         if variant == "mg_asm_lag":
             sol = dataclasses.replace(sol, precond_refresh="step")
     cfg = dataclasses.replace(cfg, solver=sol)
@@ -298,6 +300,8 @@ def _steps_at(res_n: int, variant: str, steps: int = 5):
         stats = sim.step(dt / 20.0)
     for _ in range(3):
         stats = sim.step(dt / 4.0)
+    for _ in range(3):
+        stats = sim.step(dt / 2.0)
     for _ in range(9):
         stats = sim.step(dt)
     best, last = float("inf"), 0.0

@@ -390,12 +390,16 @@ def _mode_vectors(stencil: transfer.Stencil, F_n, ctx, V0, dt, dim: int):
 
 
 def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
-                     dim: int):
+                     dim: int, chunk_budget: int = 1536 * 2 ** 20):
     """Per-active-cell stencil block sums via the rank-1 mode factorization:
     (cells_cap, s_j, s_i, d, d) — the shared compute core of the mode
     assemblies (dense `assemble_hessian_modes` and the tile-compacted
-    variant in ops.bsr_tiled). One packed slot-order gather + ONE batched
-    MXU matmul B = (lam Z)^T Z per cell."""
+    variant in ops.bsr_tiled). Packed slot-order gathers + batched MXU
+    matmuls B = (lam Z)^T Z per cell, CHUNKED over the cell axis: the
+    slot-gathered mode rows are the assembly's intrinsic working set
+    (5.25 GB gather + 5.18 GB product at 400k particles / 128^3 — the
+    last 779 MB-over compile OOM of the round-4 chain); chunking bounds
+    the live slice while the output blocks accumulate."""
     s = stencil.wn.shape[1]
     n = stencil.wn.shape[0]
     cells_cap, cap = bins.p_cell.shape
@@ -404,20 +408,41 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
     Z, lam = _mode_vectors(stencil, F_n, ctx, V0, dt, dim)   # (n, M*sd), (n, M)
     Mm = lam.shape[1]
 
-    # one packed row gather into slot order (pad particle -> zero row)
+    # packed slot-order gather (pad particle -> zero row), chunked
     packed = jnp.concatenate([Z, lam], axis=1)
     packed = jnp.concatenate(
         [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
     )
-    rows = packed[bins.p_cell.reshape(-1)]
-    rows = transfer.barrier(rows)
-    Z_s = rows[:, : Mm * sd].reshape(cells_cap, cap * Mm, sd)
-    lam_s = rows[:, Mm * sd:].reshape(cells_cap, cap * Mm)
+    # ~1.5 GB live per chunk for the gathered rows; lax.map SEQUENCES the
+    # chunks (a python loop of independent gathers lets the scheduler keep
+    # several alive — the remat-clone failure mode)
+    row_bytes = cap * Mm * (sd + 1) * 4
+    n_chunks = int(max(1, -(-cells_cap * row_bytes // chunk_budget)))
+    if n_chunks == 1:
+        rows = packed[bins.p_cell.reshape(-1)]
+        rows = transfer.barrier(rows)
+        Z_s = rows[:, : Mm * sd].reshape(cells_cap, cap * Mm, sd)
+        lam_s = rows[:, Mm * sd:].reshape(cells_cap, cap * Mm)
+        # per-cell block sums over q = (slot, mode). Z columns are (e, k)
+        # within a mode (see _mode_vectors): r = b*s + j, s' = a*s + i
+        B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
+        return B.reshape(cells_cap, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+    chunk = -(-cells_cap // n_chunks)
+    pad_cells = n_chunks * chunk - cells_cap
+    p_cell = jnp.concatenate(
+        [bins.p_cell,
+         jnp.full((pad_cells, cap), n, bins.p_cell.dtype)], axis=0
+    ).reshape(n_chunks, chunk, cap)
 
-    # per-cell block sums over q = (slot, mode). Z columns are (e, k)
-    # within a mode (see _mode_vectors), so r = b*s + j, s' = a*s + i:
-    B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
-    return B.reshape(cells_cap, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+    def body(pc):
+        rows = transfer.barrier(packed[pc.reshape(-1)])
+        Z_s = rows[:, : Mm * sd].reshape(chunk, cap * Mm, sd)
+        lam_s = rows[:, Mm * sd:].reshape(chunk, cap * Mm)
+        B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
+        return B.reshape(chunk, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+
+    out = jax.lax.map(body, p_cell)
+    return out.reshape(n_chunks * chunk, s, s, dim, dim)[:cells_cap]
 
 
 def stencil_offset_table(dim: int, s: int):

@@ -33,7 +33,7 @@ VARIANTS = ("jacobi", "jacobi_exp", "mg", "mg_asm", "mg_asm_exp", "mg_asm1")
 
 
 def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
-               pallas_apply=None):
+               pallas_apply=None, max_newton: int = 5, max_cg: int = 60):
     from hot_tpu.utils.config import MultigridConfig
 
     if pallas_apply is not None:
@@ -57,14 +57,27 @@ def solver_for(variant: str, base, levels: int = 4, coarse: str = "direct",
         assembled=variant.startswith("mg_asm"),
         assembled_from_level=1 if variant == "mg_asm1" else 0,
     )
+    # max_newton bounds ONE execution's wall time: at ~3-4 s per Newton
+    # iteration (per-Newton build + CG), a 10-Newton execution inside the
+    # post-compile re-opt window crosses the ~60 s device deadline — the
+    # queue-2/3 mg leg kills (isolate_mg_step with max_newton=2 survives
+    # and measures). MG converges in 2-3; 6 is headroom, not a cap in
+    # practice.
+    # max_cg=60 also bounds the execution: if the (lagged) V-cycle stops
+    # contracting at some trajectory point, CG runs to its cap — at ~0.1 s
+    # per preconditioned iteration, 3 Newton x 200 CG is a ~60 s execution
+    # (the deadline). A capped run REPORTS the blowup in its cg field
+    # instead of killing the device.
     return dataclasses.replace(base, preconditioner="multigrid", multigrid=mg,
-                               matrix_free=not exp)
+                               matrix_free=not exp, max_newton=max_newton,
+                               max_cg=max_cg)
 
 
 def run_one(variant: str, res: int, steps: int, dt: float,
             levels: int = 4, coarse: str = "direct",
             pallas_apply=None, transfer=None, refresh: str = None,
-            warm_full: int = 9, pregrow: float = 0.0) -> dict:
+            warm_full: int = 9, pregrow: float = 0.0,
+            max_newton: int = 5, max_cg: int = 60) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +88,9 @@ def run_one(variant: str, res: int, steps: int, dt: float,
     enable_compilation_cache()
     scene = build_scene("twisting_bar_3d", res=res, ppc=8)
     cfg = scene["cfg"]
-    cfg = dataclasses.replace(cfg, solver=solver_for(variant, cfg.solver, levels, coarse, pallas_apply))
+    cfg = dataclasses.replace(
+        cfg, solver=solver_for(variant, cfg.solver, levels, coarse,
+                               pallas_apply, max_newton, max_cg))
     if refresh:
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(cfg.solver, precond_refresh=refresh)
@@ -103,22 +118,45 @@ def run_one(variant: str, res: int, steps: int, dt: float,
     # each warm execution stays far under the deadline; full-dt steps then
     # run warm.
     dt_warm = dt / 200.0
+
+    def ramp(n_tiny=12):
+        """Season the CURRENT executable with short executions: tiny dt
+        (1 Newton) then a graded dt ramp. The post-compile re-opt window
+        makes executions 10-20x slow; a full-dt multi-Newton step inside
+        it crosses the ~60-70 s execution deadline (re-probed round 4:
+        64 s OK / 70 s kill) and the device worker dies."""
+        st = None
+        for _ in range(n_tiny):
+            st = sim.step(dt_warm)
+        for f in (20.0, 20.0, 20.0, 4.0, 4.0, 2.0, 2.0):
+            st = sim.step(dt / f)
+        return st
+
+    def n_events():
+        # only recompile events (bin_regrow) need re-seasoning; dt_retry
+        # re-runs the SAME executable
+        return sum(1 for r in sim.metrics.records
+                   if r.get("event") == "bin_regrow")
+
     t_compile0 = time.perf_counter()
     stats = sim.step(dt_warm)
     compile_s = time.perf_counter() - t_compile0
-    for _ in range(11):
-        stats = sim.step(dt_warm)
-    # graded dt ramp (round 4): in the device's slow state, a full-dt
-    # multi-Newton step inside the re-opt window crosses the ~60 s
-    # execution deadline (UNAVAILABLE) even after the tiny-dt warm —
-    # intermediate dt steps converge in 1-2 Newton and retire re-opt
-    # further before the first long execution
-    for _ in range(5):
-        stats = sim.step(dt / 20.0)
-    for _ in range(3):
-        stats = sim.step(dt / 4.0)
-    for _ in range(warm_full):
+    stats = ramp()
+    # full-dt warm with regrow guard: a bin_regrow RECOMPILES (new caps =
+    # new executable) and the very next full-dt step would run young —
+    # re-season after every event before continuing (the queue-2/3 mg
+    # legs died exactly there)
+    clean = 0
+    ev0 = n_events()
+    while clean < warm_full:
         stats = sim.step(dt)
+        ev1 = n_events()
+        if ev1 != ev0:
+            ev0 = ev1
+            clean = 0
+            stats = ramp(8)
+        else:
+            clean += 1
     newton = int(stats.newton_iters)
     cg = int(stats.cg_iters)
     best = float("inf")
@@ -165,6 +203,12 @@ def main():
     ap.add_argument("--pregrow", type=float, default=0.0,
                     help="pre-size capacities with this grow factor "
                          "(suppresses mid-protocol bin_regrow recompiles)")
+    ap.add_argument("--max-newton", type=int, default=5,
+                    help="mg variants: Newton cap bounding one execution "
+                         "under the ~60-70 s device deadline")
+    ap.add_argument("--max-cg", type=int, default=60,
+                    help="mg variants: CG cap (same deadline bound; at "
+                         "128^3 a CG iteration is ~0.3-0.5 s, use ~25)")
     args = ap.parse_args()
 
     if args.one:
@@ -172,7 +216,8 @@ def main():
                                  args.levels, args.coarse,
                                  False if args.no_pallas else None,
                                  args.transfer, args.refresh,
-                                 args.warm_full, args.pregrow)),
+                                 args.warm_full, args.pregrow,
+                                 args.max_newton, args.max_cg)),
               flush=True)
         return
 

@@ -24,6 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if os.environ.get("HOT_OVERLAP_CHILD") is None:
+        # subprocess + retry wrapper: the CPU in-process collective
+        # rendezvous can abort the process (parallel.mesh.loop_mesh_width)
+        import subprocess
+
+        for attempt in range(3):
+            env = dict(os.environ, HOT_OVERLAP_CHILD="1")
+            pr = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                                + sys.argv[1:], env=env)
+            if pr.returncode == 0:
+                return
+            print(f"[overlap] attempt {attempt} rc={pr.returncode}",
+                  file=sys.stderr, flush=True)
+        sys.exit(1)
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--res", type=int, default=32)

@@ -23,7 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(devices: int, base_res: int, steps: int, dt: float, tpu: bool):
-    cmd_is_subprocess = "HOT_SCALING_CHILD" in os.environ
     import jax
 
     if not tpu:
@@ -103,14 +102,43 @@ def main():
             + f" --xla_force_host_platform_device_count={max(args.devices)}"
         ).strip()
 
+    if os.environ.get("HOT_SCALING_CHILD"):
+        d = int(os.environ["HOT_SCALING_CHILD"])
+        print(json.dumps(run(d, args.res, args.steps, args.dt, args.tpu)),
+              flush=True)
+        return
+
+    # one SUBPROCESS per device count, with retries: XLA:CPU's in-process
+    # collective rendezvous can abort the whole process when device
+    # threads outnumber cores (see parallel.mesh.loop_mesh_width) — a
+    # crash of the 8-device leg must not destroy the 1/2/4 records, and
+    # the abort is probabilistic per collective, so retries are sound.
+    import subprocess
+
     rows = []
     for d in args.devices:
-        rows.append(run(d, args.res, args.steps, args.dt, args.tpu))
-        if rows[0]["devices"] == 1:
+        row = None
+        for attempt in range(3):
+            env = dict(os.environ, HOT_SCALING_CHILD=str(d))
+            pr = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                                + sys.argv[1:], env=env, capture_output=True,
+                                text=True)
+            lines = [l for l in pr.stdout.splitlines() if l.startswith("{")]
+            if pr.returncode == 0 and lines:
+                row = json.loads(lines[-1])
+                break
+            print(f"[scaling] d={d} attempt {attempt} rc={pr.returncode}",
+                  file=sys.stderr, flush=True)
+        if row is None:
+            row = dict(devices=d, error="crashed 3x (cpu collective "
+                                        "rendezvous abort)")
+        rows.append(row)
+        if rows[0].get("devices") == 1 and "steps_per_sec" in row \
+                and "steps_per_sec" in rows[0]:
             # weak-scaling efficiency vs the 1-device leg (ideal 1.0)
-            rows[-1]["efficiency"] = round(
-                rows[-1]["steps_per_sec"] / rows[0]["steps_per_sec"], 3)
-        print(json.dumps(rows[-1]), flush=True)
+            row["efficiency"] = round(
+                row["steps_per_sec"] / rows[0]["steps_per_sec"], 3)
+        print(json.dumps(row), flush=True)
     print(json.dumps(rows, indent=2), file=sys.stderr)
     if args.out:
         with open(args.out, "w") as f:
