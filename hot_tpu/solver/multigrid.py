@@ -386,7 +386,11 @@ def build_static(
                     2 ** len(res),
                     valid=(finite if compact_l else None),
                 )
-        embeds.append(embed)
+        # LEAN embed: restriction/prolongation consume only wn/node_ids;
+        # the stencil's gwn + rel are ~1.4 GB dead weight at a 128^3 fine
+        # level (2.1M nodes x 27 x dim x 2 arrays)
+        z = jnp.zeros((0,), embed.wn.dtype)
+        embeds.append(embed._replace(gwn=z, rel=z))
         embed_bins_list.append(e_bins)
         # propagate constraint mask to the coarse level
         w_total = transfer.scatter_sum(embed.node_ids, embed.wn, n_coarse)
