@@ -427,6 +427,27 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
         # within a mode (see _mode_vectors): r = b*s + j, s' = a*s + i
         B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
         return B.reshape(cells_cap, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+
+    # CHUNKED: gather RAW per-particle inputs into slot order per cell
+    # chunk and recompute the mode vectors in-chunk. The global Z is
+    # (n, M*s*d) — 2.8 GB at 400k particles / composed width 4 — and the
+    # packed-gather formulation keeps ~3 copies alive (Z, packed, gathered
+    # rows): the raw inputs are ~7.6x smaller per row. Particles belong to
+    # exactly ONE cell, so the slot gather is a permutation (no recompute
+    # duplication).
+    del packed, Z, lam
+    dd = dim * dim
+    n_pairs = len(cm._pairs(dim))
+    raw = jnp.concatenate([
+        stencil.gwn.reshape(n, sd),
+        F_n.reshape(n, dd),
+        ctx.U.reshape(n, dd), ctx.V.reshape(n, dd), ctx.A.reshape(n, dd),
+        ctx.b_plus, ctx.b_minus, V0[:, None],
+    ], axis=1)
+    W = raw.shape[1]
+    raw = jnp.concatenate([raw, jnp.zeros((1, W), raw.dtype)], axis=0)
+    raw_bytes = cap * (W + Mm * (sd + 1)) * 4
+    n_chunks = int(max(1, -(-cells_cap * raw_bytes // chunk_budget)))
     chunk = -(-cells_cap // n_chunks)
     pad_cells = n_chunks * chunk - cells_cap
     p_cell = jnp.concatenate(
@@ -435,9 +456,34 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
     ).reshape(n_chunks, chunk, cap)
 
     def body(pc):
-        rows = transfer.barrier(packed[pc.reshape(-1)])
-        Z_s = rows[:, : Mm * sd].reshape(chunk, cap * Mm, sd)
-        lam_s = rows[:, Mm * sd:].reshape(chunk, cap * Mm)
+        rows = transfer.barrier(raw[pc.reshape(-1)])          # (chunk*cap, W)
+        m = rows.shape[0]
+        o = 0
+
+        def take(k, shape):
+            nonlocal o
+            part = rows[:, o:o + k]
+            o += k
+            return part.reshape((m,) + shape)
+
+        gwn_s = take(sd, (s, dim))
+        F_s = take(dd, (dim, dim))
+        U_s = take(dd, (dim, dim))
+        V_s = take(dd, (dim, dim))
+        A_s = take(dd, (dim, dim))
+        bp_s = take(n_pairs, (n_pairs,))
+        bm_s = take(n_pairs, (n_pairs,))
+        V0_s = take(1, ())
+        st_s = transfer.Stencil(
+            node_ids=jnp.zeros((m, s), jnp.int32),
+            wn=jnp.zeros((m, s), rows.dtype), gwn=gwn_s,
+            rel=jnp.zeros((0,), rows.dtype),
+        )
+        ctx_s = cm.HessianContext(U=U_s, V=V_s, A=A_s, b_plus=bp_s,
+                                  b_minus=bm_s)
+        Zc, lamc = _mode_vectors(st_s, F_s, ctx_s, V0_s, dt, dim)
+        Z_s = Zc.reshape(chunk, cap * Mm, sd)
+        lam_s = lamc.reshape(chunk, cap * Mm)
         B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
         return B.reshape(chunk, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
 

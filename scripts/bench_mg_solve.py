@@ -116,8 +116,8 @@ def main():
                                        gather_st=transfer.make_binned_gather(
                                            bins, res))), obj, v0)
     r, hess = r_hess
-    params, _ = phase("cl-params", jax.jit(
-        lambda o, c: obj_mod.hessian_params_cl(o, c)), obj, hess.ctx)
+    ctx = hess.ctx
+    del hess        # F_new etc. not needed; ctx rides separately
     b = obj_mod.project(obj, -r)
     b_norm = float(jnp.linalg.norm(b))
     print(f"[system] |b|={b_norm:.3e} active={int(jnp.sum(active))}",
@@ -197,7 +197,11 @@ def main():
     pre, build_ms = phase("mg-build", jax.jit(
         lambda mg_, F, c, V0: mg_mod.build_precond(mg_, F, c, V0, dt, mgc,
                                                    dim)),
-        mg_static, state.F, hess.ctx, state.V0)
+        mg_static, state.F, ctx, state.V0)
+    # CL apply params built only now — ~1 GB that must not sit in HBM
+    # under the composed level-1 assembly peak
+    params, _ = phase("cl-params", jax.jit(
+        lambda o, c: obj_mod.hessian_params_cl(o, c)), obj, ctx)
 
     def mg_pre(op, rr):
         obj_, _, _, (mg_, pre_, F, V0) = op
@@ -218,7 +222,7 @@ def main():
     Dinv, bj_build_ms = phase("bj-build", jax.jit(
         lambda st_, F, c, V0, gm_, act: obj_mod.sym_block_inv(
             obj_mod.elastic_block_diag(st_, F, c, V0, dt, gm_, act, dim))),
-        st, state.F, hess.ctx, state.V0, gm, active)
+        st, state.F, ctx, state.V0, gm, active)
 
     def bj_pre(op, rr):
         obj_, _, _, Dinv_ = op
