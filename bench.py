@@ -202,11 +202,16 @@ def _phase_spmv_at(res_n: int):
     _mark(f"{res_n}^3: rows={n_active} block_nnz={block_nnz} "
           f"tiles={int(tgrid.n_active)}")
 
+    # supertile-arg form: one (R, K*dd) -> (R, K, d, d) copy per assembly
+    # (amortized over the CG applies this SpMV models); the flat-arg
+    # in-program split reshape costs 2x — see bsr_tiled.vals_supertile_arg
+    vals5 = jax.jit(lambda m_: bsr_tiled.vals_supertile_arg(m_, dim))(tmat)
+    jax.block_until_ready(vals5)
     spmv_fn = jax.jit(lambda v_, x_: _renorm(bsr_tiled.spmv_tiled(
         tmat._replace(vals=v_), tgrid, nbr, x_)))
     x_rows = bsr_mod.grid_vector_to_rows(tmat, sysd["vg"])
-    y = spmv_fn(tmat.vals, x_rows)
-    t_spmv = best_trial(lambda y: spmv_fn(tmat.vals, y), y)
+    y = spmv_fn(vals5, x_rows)
+    t_spmv = best_trial(lambda y: spmv_fn(vals5, y), y)
     _mark(f"{res_n}^3 spmv best {t_spmv * 1e3:.3f} ms")
 
     nnz = block_nnz * dim * dim

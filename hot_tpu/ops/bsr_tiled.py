@@ -134,6 +134,25 @@ def _supercube(xn, tile: int, dim: int):
     return x.reshape((T,) + (3 * tile,) * dim + (c,))
 
 
+def vals_supertile_arg(mat: bsr_mod.BsrMatrix, dim: int) -> jax.Array:
+    """Materialize the canonical FLAT (R, K*d*d) vals as a (R, K, d, d)
+    device array to pass as the supertile-SpMV ARGUMENT.
+
+    Layout-law addendum (round 5, scripts/bisect_spmv_flat.py at 128^3,
+    7.6M-block twisting-bar Hessian): the einsum reduce reading an
+    in-program split reshape of a FLAT argument runs 7.27 ms; the same
+    bytes passed as a 4-D argument run 3.36 ms — argument layouts are
+    chosen by XLA per-shape at the executable boundary, and the 4-D shape
+    gets the reduce-friendly one while the flat argument's split view is
+    pinned to the flat row-major order. Cost: one device copy per
+    ASSEMBLY (~1 ms at 400 MB), amortized over every CG/smoother apply.
+    Run this in its own jit (or jit boundary) so the copy is not fused
+    into — and does not re-layout — the assembly program."""
+    R, KD = mat.vals.shape
+    dd = dim * dim
+    return mat.vals.reshape(R, KD // dd, dim, dim)
+
+
 def spmv_tiled(mat: bsr_mod.BsrMatrix, tgrid: sparse_mod.TileGrid,
                nbr: jax.Array, x, reduce: str = "einsum"):
     """y = A x with rows in tile order; x: (capacity*tile_nodes, d).

@@ -73,24 +73,48 @@ def main():
     y = fA(tmat.vals, x_rows)
     record("A_flat_arg_einsum", bench.best_trial(lambda y: fA(tmat.vals, y), y))
 
-    # A2: flat vals CLOSED OVER as a jit constant (no per-call arg
-    # processing / relayout)
-    fA2 = jax.jit(lambda x_: bench._renorm(
-        bsr_tiled.spmv_tiled(tmat, tgrid, nbr, x_)))
-    y = fA2(x_rows)
-    record("A2_flat_const_einsum", bench.best_trial(fA2, y))
+    # (A2 — vals closed over as a jit constant — is infeasible: 400 MB of
+    # constants exceeds the remote-compile request buffer, HTTP 413.)
 
-    # B: round-3 form — 4D (R, K, d, d) vals passed as arg
-    vals4 = jax.jit(lambda v: v.reshape(R, K, d, d))(tmat.vals)
-    jax.block_until_ready(vals4)
+    # B: round-3 form — 5D (R, K, d, d) vals passed as arg, so the einsum
+    # reduce reads an ARGUMENT layout instead of an in-program reshape
+    vals5 = jax.jit(lambda v: v.reshape(R, K, d, d))(tmat.vals)
+    jax.block_until_ready(vals5)
 
-    def spmv_4d(v4, x_):
-        m = tmat._replace(vals=v4.reshape(R, KD))
-        return bench._renorm(bsr_tiled.spmv_tiled(m, tgrid, nbr, x_))
+    def spmv_5d(v5, x_):
+        T = tgrid.capacity
+        tn = tgrid.tile_nodes
+        dim = tgrid.dim
+        tile = tgrid.tile
+        import jax.numpy as jnp
+        xt = x_.reshape(T, tn, d)
+        xt = jnp.concatenate([xt, jnp.zeros((1, tn, d), x_.dtype)], axis=0)
+        xn = xt[nbr]
+        from hot_tpu.ops import transfer as tr
+        xn = tr.barrier(xn)
+        X = bsr_tiled._supercube(xn, tile, dim)
+        lo, hi = tile - 2, 2 * tile + 2
+        X8 = X[(slice(None),) + (slice(lo, hi),) * dim]
+        S = tile + 4
+        import numpy as _np
+        rng5 = _np.arange(5)
+        offs = _np.stack(_np.meshgrid(*([rng5] * dim), indexing="ij"),
+                         -1).reshape(-1, dim)
+        rngt = _np.arange(tile)
+        lidx = _np.stack(_np.meshgrid(*([rngt] * dim), indexing="ij"),
+                         -1).reshape(-1, dim)
+        strides = _np.array([S ** (dim - 1 - a) for a in range(dim)])
+        sup_idx = ((lidx[:, None, :] + offs[None, :, :]) * strides).sum(-1)
+        sup_idx = jnp.asarray(sup_idx.reshape(-1), jnp.int32)
+        xf = X8.reshape(T, S**dim, d)
+        xw = xf[:, sup_idx].reshape(T, tn, K, d)
+        y = jnp.sum(v5.reshape(T, tn, K, d, d) * xw[:, :, :, None, :],
+                    axis=(2, 4))
+        return bench._renorm(y.reshape(T * tn, d))
 
-    fB = jax.jit(spmv_4d)
-    y = fB(vals4, x_rows)
-    record("B_4d_arg_einsum", bench.best_trial(lambda y: fB(vals4, y), y))
+    fB = jax.jit(spmv_5d)
+    y = fB(vals5, x_rows)
+    record("B_5d_arg_einsum", bench.best_trial(lambda y: fB(vals5, y), y))
 
     # C: flat reduce (the MG call-site form) on flat vals
     fC = jax.jit(lambda v_, x_: bench._renorm(bsr_tiled.spmv_tiled(
