@@ -57,6 +57,16 @@ class BsrMatrix:
     half: int = dataclasses.field(metadata=dict(static=True))
     # half: 2 for quadratic B-spline quadrature operators, 3 for their
     # Galerkin RAP
+    # Row ordering: True = tile-compacted rows (ops.bsr_tiled.
+    # structure_tiled — row r = tile_slot * tile_nodes + local_id, the
+    # supertile-SpMV eligible layout); False = compressed-row order
+    # (bsr.structure — active rows packed by row_of). half alone cannot
+    # distinguish them once rap_max_half produces half-2 RAP operators
+    # on compressed rows, and n_rows coincides whenever the dense RAP
+    # capacity is taken from a tile-laid mat_sym — an explicit flag is
+    # the only safe discriminator (see solver.multigrid._rows_mul).
+    tile_layout: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     def _replace(self, **kw) -> "BsrMatrix":
         return dataclasses.replace(self, **kw)

@@ -83,7 +83,7 @@ def structure_tiled(tgrid: sparse_mod.TileGrid, half: int = 2) -> bsr_mod.BsrMat
     vals = jnp.zeros((capacity, K * dim * dim))     # flat k-major storage
     return bsr_mod.BsrMatrix(
         vals=vals, col_row=col_row, node_of=node_of, row_of=row_of,
-        res=tuple(res), half=half,
+        res=tuple(res), half=half, tile_layout=True,
     )
 
 

@@ -60,7 +60,7 @@ def rap_half_out(half_in: int) -> int:
 def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
         coarse_capacity: int,
         fine_origin=None, coarse_origin=None,
-        coarse_tgrid=None) -> bsr_mod.BsrMatrix:
+        coarse_tgrid=None, max_half: int = None) -> bsr_mod.BsrMatrix:
     """A_c = P^T A P with node-embedding prolongation, any stencil half.
 
     Peak memory is the step-2 scatter buffer, (2^dim * n_out + R + 1)
@@ -81,6 +81,17 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
     active coarse tiles are dropped (subspace Galerkin — the restriction
     drops the same rows, so the V-cycle correction stays consistent).
     The fine A works either way (only node_of/coords are consumed).
+
+    max_half: optional cap on the OUTPUT stencil half (MultigridConfig.
+    rap_max_half). The exact Galerkin stencil grows 2 -> 3 -> 4 (fixed
+    point): a 9^dim-wide deep operator whose far entries come from
+    embedding-kernel tails (quadratic B-spline weights decay fast).
+    Truncating drops the |offset| > max_half couplings SYMMETRICALLY
+    (offsets come in +/- pairs, so A_c stays symmetric); the operator is
+    then near-Galerkin — a preconditioner-quality knob guarded by the
+    CG-count test in tests/test_multigrid.py, trading exactness for a
+    K 729 -> 343 (max_half=3) cut of every deep-level SpMV, scatter
+    buffer, and downstream RAP window.
     """
     dim = A.dim
     h = A.half
@@ -167,6 +178,8 @@ def rap(A: bsr_mod.BsrMatrix, coarse_res: Tuple[int, ...], coarse_active,
 
     # ---- step 2: A_c = P^T W (scatter into the coarse stencil) -----------
     h_c = rap_half_out(h)
+    if max_half is not None:
+        h_c = min(h_c, int(max_half))
     Jc_coord = base_j[:, None, :] + emb_offs[None, :, :]        # (R, 3^d, dim)
     Jc_ok = jnp.all((Jc_coord >= 0) & (Jc_coord < res_c[None, None, :]), axis=-1)
     if coarse_tgrid is not None:

@@ -330,11 +330,14 @@ def make_mul(level: SMGLevel, mat, F, ctx, V0, dt, axis: str, D: int,
     ext_nodes = (planes + 2 * halo) * plane_nodes
     d = F.shape[-1]
 
-    if mat.half == 2 and level.tgrid is not None:
+    if mat.half == 2 and level.tgrid is not None and mat.tile_layout:
         from hot_tpu.ops import bsr_tiled
 
         # reduce='flat': the einsum form's R5 intermediate OOMs the
-        # compile of large MG programs (see spmv_tiled docstring)
+        # compile of large MG programs (see spmv_tiled docstring).
+        # tile_rows guard: a rap_max_half-truncated half-2 RAP mat is in
+        # compressed-row order — the supertile kernel would read the
+        # wrong rows (see solver.multigrid._rows_mul)
         rows_mul = lambda r: bsr_tiled.spmv_tiled(mat, level.tgrid,
                                                   level.nbr, r,
                                                   reduce="flat")

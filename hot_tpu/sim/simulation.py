@@ -333,6 +333,7 @@ def _advance_one_step_impl(
             y = bsr_mod.rows_to_grid_vector(mat, y_rows, n_nodes)
             return jnp.where(active[:, None], y, w)
 
+    refresh_precond = None
     if sol.preconditioner == "none":
         build_precond = lambda hp: None
         precond = lambda pstate, r: r
@@ -404,6 +405,17 @@ def _advance_one_step_impl(
                 mg_static, state.F, _ctx_particle_order(hp[0].ctx), state.V0,
                 dt, mgc, dim
             )
+
+        if mgc.rap_refresh == "lagged" and mgc.assembled:
+            # per-Newton partial refresh: first assembled level + smoother
+            # data fresh, deep RAP chain + coarse factor from the v0 build
+            def refresh_precond(hp, base):
+                return mg_mod.build_precond(
+                    mg_static, state.F, _ctx_particle_order(hp[0].ctx),
+                    state.V0, dt, mgc, dim, reuse=base
+                )
+        else:
+            refresh_precond = None
 
         def precond(pstate, r):
             return mg_mod.mg_precondition(
@@ -479,6 +491,7 @@ def _advance_one_step_impl(
                                             gather_st=sol_gather),
             line_search=sol.line_search,
             precond_refresh=sol.precond_refresh,
+            refresh_preconditioner=refresh_precond,
             linearize=lin,
         )
     v_new = collision.apply_bc_to_velocity(result.v, proj, v_bc)

@@ -423,10 +423,14 @@ def _mat_of(pre: "MGPrecond", l: int):
 
 def _rows_mul(level: MGLevel, mat):
     """Row-vector SpMV for an explicit level operator: the supertile kernel
-    when the matrix is in tile-row layout (half=2, quadrature assembly),
-    the generic gather SpMV otherwise (Galerkin RAP levels: 7/9-wide
-    stencils in compressed-row order)."""
-    if mat.half == 2 and level.tgrid is not None:
+    when the matrix is in tile-row layout (half=2 AND mat.tile_layout —
+    quadrature assembly or tile-compacted RAP), the generic gather SpMV
+    otherwise (Galerkin RAP levels on dense row structures:
+    compressed-row order, any half — including rap_max_half-truncated
+    half-2 mats, which neither half nor n_rows can distinguish from
+    tile-layout ones; routing those to the supertile kernel read the
+    wrong rows, caught by test_rap_max_half_truncation_guard)."""
+    if mat.half == 2 and level.tgrid is not None and mat.tile_layout:
         from hot_tpu.ops import bsr_tiled
 
         # reduce='flat': the einsum form's R5 intermediate OOMs the
@@ -502,21 +506,47 @@ def _level_ops_dense(level: MGLevel, F_n, ctx, V0, dt):
 
 
 def build_precond(
-    mg: MGStatic, F_n, ctx, V0, dt, cfg: MultigridConfig, dim: int
+    mg: MGStatic, F_n, ctx, V0, dt, cfg: MultigridConfig, dim: int,
+    reuse: "MGPrecond" = None,
 ) -> MGPrecond:
     """Per-Newton-iteration smoother data: block diagonals + lambda_max.
 
     Assembled levels (built with mg_tile_caps) additionally assemble the
     explicit tile-row BSR operator here — once per Newton iteration,
     amortized over every smoother/residual application of every CG
-    iteration (reference: HOT's per-level explicit matrices, #35)."""
+    iteration (reference: HOT's per-level explicit matrices, #35).
+
+    reuse (cfg.rap_refresh == "lagged"): a previously built MGPrecond
+    whose Galerkin-RAP chain (every assembled level AFTER the first one)
+    and coarse factor are taken as-is instead of rebuilt — the coarse
+    CORRECTIONS lag one linearization point while the first assembled
+    level (the one built from particles) and every level's smoother
+    diagonals/lmax are rebuilt fresh. SPD is preserved (the lagged mats
+    were SPD at their build point), so PCG still converges; the cost is
+    a few extra CG iterations under large per-Newton rotation."""
     diag_inv = []
     lmax = []
     mats = []
     any_assembled = any(lv.mat_sym is not None for lv in mg.levels)
     galerkin = cfg.coarsening == "galerkin" and any_assembled
+    first_asm = next(
+        (l for l, lv in enumerate(mg.levels) if lv.mat_sym is not None), None
+    )
     prev_mat = None
     for l, level in enumerate(mg.levels):
+        lagged = (reuse is not None and reuse.mats
+                  and level.mat_sym is not None and first_asm is not None
+                  and l > first_asm)
+        if lagged:
+            mat = reuse.mats[l]
+            mats.append(mat)
+            prev_mat = mat
+            # smoother data stays fresh-from-the-lagged-mat: the mat IS
+            # the level operator the smoother applies, so its diagonal /
+            # lmax are the consistent (and already computed) ones
+            diag_inv.append(reuse.diag_inv[l])
+            lmax.append(reuse.lmax[l])
+            continue
         if level.mat_sym is not None:
             from hot_tpu.ops import bsr as bsr_mod
 
@@ -531,7 +561,8 @@ def build_precond(
                 if level.compact:
                     # tile-compacted coarse rows (sparse backend)
                     mat = spgemm.rap(prev_mat, level.res, None, 0,
-                                     coarse_tgrid=level.tgrid)
+                                     coarse_tgrid=level.tgrid,
+                                     max_half=cfg.rap_max_half)
                 else:
                     cap = level.mat_sym.n_rows
                     if (l == len(mg.levels) - 1
@@ -544,7 +575,8 @@ def build_precond(
                         # ~600 MB factor the active-rows coarse_capacity
                         # fix exists to avoid
                         cap = int(cfg.coarse_capacity)
-                    mat = spgemm.rap(prev_mat, level.res, level.active, cap)
+                    mat = spgemm.rap(prev_mat, level.res, level.active, cap,
+                                     max_half=cfg.rap_max_half)
             elif galerkin and level.comp is not None:
                 # composed-stencil Galerkin (ops.composed): exact
                 # P^T A_0 P from particles + fine node masses — the first
@@ -616,7 +648,12 @@ def build_precond(
             lam = jnp.ones((), F_n.dtype)
         lmax.append(lam)
     chol = None
-    if cfg.coarse_solver == "direct":
+    if (cfg.coarse_solver == "direct" and reuse is not None
+            and reuse.coarse_chol is not None and first_asm is not None
+            and len(mg.levels) - 1 > first_asm and galerkin):
+        # coarsest level was lagged above — its factor is too
+        chol = reuse.coarse_chol
+    elif cfg.coarse_solver == "direct":
         if mg.levels[-1].compact:
             raise NotImplementedError(
                 "direct coarse solve needs a dense coarsest level: add MG "

@@ -73,6 +73,14 @@ def newton_solve(
                                   # converges to the same iterates'
                                   # tolerance; trades per-Newton build
                                   # cost for a few extra CG iterations)
+    refresh_preconditioner: Callable = None,
+                                  # optional (hess, base_pstate) -> pstate:
+                                  # partial per-Newton refresh against a
+                                  # base built ONCE at v0 (e.g. lagged
+                                  # Galerkin-RAP chain with fresh finest
+                                  # assembly + smoother diagonals —
+                                  # MultigridConfig.rap_refresh="lagged").
+                                  # Only used when precond_refresh=="newton".
 ) -> NewtonResult:
     """Run the inexact Newton loop. All arguments with shapes are traced.
 
@@ -94,8 +102,11 @@ def newton_solve(
 
     r0, hess0 = linearize(v0)
     cn0 = cn_norm(r0)
+    partial_refresh = (refresh_preconditioner is not None
+                       and precond_refresh == "newton")
     frozen_pstate = (build_preconditioner(hess0)
-                     if precond_refresh == "step" else None)
+                     if precond_refresh == "step" or partial_refresh
+                     else None)
 
     def cond(carry):
         v, r, hess, cn, k, cg_total, hist = carry
@@ -104,8 +115,12 @@ def newton_solve(
 
     def body(carry):
         v, r, hess, cn, k, cg_total, hist = carry
-        pstate = (frozen_pstate if precond_refresh == "step"
-                  else build_preconditioner(hess))
+        if precond_refresh == "step":
+            pstate = frozen_pstate
+        elif partial_refresh:
+            pstate = refresh_preconditioner(hess, frozen_pstate)
+        else:
+            pstate = build_preconditioner(hess)
         if adaptive_forcing:
             ratio = cn / jnp.maximum(cn0, 1e-30)
             eta = jnp.clip(jnp.sqrt(ratio), cg_tol, 0.5)

@@ -71,6 +71,19 @@ class MultigridConfig:
     # (measured). None = Simulation auto-chooses from the particle layout
     # (full n_nodes when driven without a Simulation).
     coarse_capacity: Optional[int] = None
+    # Cap on the Galerkin coarse-operator stencil half (ops.spgemm.rap
+    # max_half): the exact RAP stencil grows 5 -> 7 -> 9-wide; 3 keeps
+    # every level <= 7^dim wide (near-Galerkin truncation — see
+    # spgemm.rap). None = exact.
+    rap_max_half: Optional[int] = None
+    # Galerkin-RAP refresh cadence: "newton" (exact HOT semantics — the
+    # whole chain rebuilt at every Newton iterate) or "lagged" (the RAP
+    # chain + coarse factor are built once per solve at v0 and reused
+    # across Newton iterates, while the FIRST assembled level + every
+    # smoother diagonal/lmax stay fresh — coarse corrections lag one
+    # linearization point, the profitable trade when the RAP chain is
+    # ~1/3 of a per-Newton build; see solver.multigrid.build_precond).
+    rap_refresh: str = "newton"
     # Sparse grid backend: MG levels stay tile-COMPACT while their dense
     # node count exceeds this; coarser levels switch to dense logical
     # grids (HOT's coarse-level agglomeration, SURVEY.md §5.7, in storage

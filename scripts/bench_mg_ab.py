@@ -77,7 +77,8 @@ def run_one(variant: str, res: int, steps: int, dt: float,
             levels: int = 4, coarse: str = "direct",
             pallas_apply=None, transfer=None, refresh: str = None,
             warm_full: int = 9, pregrow: float = 0.0,
-            max_newton: int = 5, max_cg: int = 60) -> dict:
+            max_newton: int = 5, max_cg: int = 60,
+            rap_refresh: str = None, rap_max_half: int = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -95,6 +96,15 @@ def run_one(variant: str, res: int, steps: int, dt: float,
         cfg = dataclasses.replace(
             cfg, solver=dataclasses.replace(cfg.solver, precond_refresh=refresh)
         )
+    if rap_refresh or rap_max_half:
+        # round-5 build levers: lagged RAP chain / near-Galerkin stencil cap
+        mgc = cfg.solver.multigrid
+        if rap_refresh:
+            mgc = dataclasses.replace(mgc, rap_refresh=rap_refresh)
+        if rap_max_half:
+            mgc = dataclasses.replace(mgc, rap_max_half=rap_max_half)
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, multigrid=mgc))
     if transfer:
         cfg = dataclasses.replace(cfg, transfer_impl=transfer)
     sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
@@ -171,6 +181,10 @@ def run_one(variant: str, res: int, steps: int, dt: float,
         res=res,
         steps_per_sec=round(1.0 / best, 4),
         step_ms=round(best * 1e3, 2),
+        # per-CG wall cost of the timed steps (weak #9: separates kernel
+        # speed from iteration-regime drift — steps/s alone conflates them)
+        ms_per_cg=round(best * 1e3 / max(int(stats.cg_iters), 1), 2),
+        rap_refresh=rap_refresh, rap_max_half=rap_max_half,
         newton=newton,
         cg=cg,
         last_newton=int(stats.newton_iters),
@@ -209,6 +223,13 @@ def main():
     ap.add_argument("--max-cg", type=int, default=60,
                     help="mg variants: CG cap (same deadline bound; at "
                          "128^3 a CG iteration is ~0.3-0.5 s, use ~25)")
+    ap.add_argument("--rap-refresh", default=None,
+                    choices=["newton", "lagged"],
+                    help="mg variants: Galerkin-RAP refresh cadence "
+                         "(MultigridConfig.rap_refresh)")
+    ap.add_argument("--rap-max-half", type=int, default=None,
+                    help="mg variants: near-Galerkin stencil cap "
+                         "(MultigridConfig.rap_max_half)")
     args = ap.parse_args()
 
     if args.one:
@@ -217,7 +238,8 @@ def main():
                                  False if args.no_pallas else None,
                                  args.transfer, args.refresh,
                                  args.warm_full, args.pregrow,
-                                 args.max_newton, args.max_cg)),
+                                 args.max_newton, args.max_cg,
+                                 args.rap_refresh, args.rap_max_half)),
               flush=True)
         return
 
@@ -230,7 +252,11 @@ def main():
                "--pregrow", str(args.pregrow),
                "--coarse", args.coarse] + (["--no-pallas"] if args.no_pallas else []) + (
                   ["--transfer", args.transfer] if args.transfer else []) + (
-                  ["--refresh", args.refresh] if args.refresh else [])
+                  ["--refresh", args.refresh] if args.refresh else []) + (
+                  ["--rap-refresh", args.rap_refresh]
+                  if args.rap_refresh else []) + (
+                  ["--rap-max-half", str(args.rap_max_half)]
+                  if args.rap_max_half else [])
         print(f"[ab] running {v} ...", file=sys.stderr, flush=True)
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -411,3 +411,168 @@ def test_colored_gs_smoother():
     assert 2 * int(r_gs.iters) <= int(r_jac.iters), (
         int(r_gs.iters), int(r_jac.iters),
     )
+
+
+def _bar_system(res_n=16, levels=3, dt_f=8e-3):
+    """Shared twisting-bar Newton system + galerkin MG statics (f64)."""
+    import dataclasses
+
+    from hot_tpu.sim import collision
+    from hot_tpu.sim import objective as obj_mod
+    from hot_tpu.utils.config import MultigridConfig
+
+    scene = build_scene("twisting_bar_3d", res=res_n, ppc=4, dtype=jnp.float64)
+    cfg = scene["cfg"]
+    model = scene["model"]
+    sim = Simulation(cfg, scene["state"], scene["model"], scene["colliders"])
+    for _ in range(3):
+        sim.step(dt_f)
+    state = sim.state
+    t = jnp.float64(sim.t)
+    dim, res, dx = 3, cfg.grid_res[:3], cfg.dx
+    dt = jnp.float64(dt_f)
+    n_nodes = transfer.n_nodes_of(res)
+    st = transfer.particle_stencil(state.x, dx, res)
+    gm, gmv = transfer.p2g_mass_momentum(st, state.v, state.C, state.m,
+                                         n_nodes)
+    active = gm > 0
+    vg = gmv * jnp.where(active, 1.0 / jnp.maximum(gm, 1e-30), 0.0)[:, None]
+    node_pos = transfer.node_positions(res, dx, state.x.dtype)
+    proj, v_bc, cons = collision.grid_boundary_conditions(
+        node_pos, t, scene["colliders"], grid_v=vg, boundary_margin=2,
+        res=res, dx=dx)
+    v0 = collision.apply_bc_to_velocity(vg, proj, v_bc)
+    obj = obj_mod.make_objective(model, st, state.F, state.V0, state.mu,
+                                 state.lam, gm, v0, proj, dt, dx)
+    r, hess = obj_mod.linearize(model, obj, v0)
+    mgs = mg_mod.build_static(
+        state.x, state.m, res, dx, levels, cons, jnp.float64,
+        bin_caps=(4096, 16), mg_tile_caps=(80, 27, 27)[:levels],
+    )
+    assert not bool(mgs.overflow)
+    mul = lambda w: obj_mod.multiply(obj, hess, w)
+    prj = lambda z: obj_mod.project(obj, z)
+    return dict(state=state, hess=hess, r=r, mul=mul, prj=prj, mgs=mgs,
+                dt=dt, dim=dim)
+
+
+def test_rap_max_half_truncation_guard():
+    """MultigridConfig.rap_max_half (the deep-stencil truncation lever,
+    BASELINE.md round-3 lever 3): the truncated near-Galerkin hierarchy
+    (a) keeps every deep level's stencil at the cap, (b) still CONTRACTS
+    the residual, and (c) costs at most 1.5x the exact hierarchy's CG
+    iterations at matched tolerance — the CG-count guard that makes the
+    knob safe to enable for build-time wins."""
+    from hot_tpu.solver.cg import cg_solve
+    from hot_tpu.utils.config import MultigridConfig
+
+    s = _bar_system(res_n=16, levels=3)
+    mgs, state, hess = s["mgs"], s["state"], s["hess"]
+    dt, dim, r = s["dt"], s["dim"], s["r"]
+    mul, prj = s["mul"], s["prj"]
+
+    def solve(mcfg):
+        pre = mg_mod.build_precond(mgs, state.F, hess.ctx, state.V0, dt,
+                                   mcfg, dim)
+        out = cg_solve(
+            lambda w: prj(mul(w)), -r,
+            precondition=lambda z_: mg_mod.mg_precondition(
+                mgs, pre, state.F, state.V0, dt, mcfg, z_),
+            project=prj, tol=1e-6, max_iters=400)
+        return pre, out
+
+    exact_cfg = MultigridConfig(levels=3, coarse_solver="direct",
+                                coarsening="galerkin")
+    trunc_cfg = MultigridConfig(levels=3, coarse_solver="direct",
+                                coarsening="galerkin", rap_max_half=2)
+    pre_e, out_e = solve(exact_cfg)
+    pre_t, out_t = solve(trunc_cfg)
+
+    # (a) stencil halves: exact grows 2 -> 3 -> 4; truncated stays at 2
+    assert pre_e.mats[1].half == 3 and pre_e.mats[2].half == 4
+    assert pre_t.mats[1].half == 2 and pre_t.mats[2].half == 2
+
+    # truncated operator stays symmetric: <e, A f> == <f, A e> on the
+    # level-1 active support
+    lvl1 = mgs.levels[1]
+    rng = np.random.default_rng(1)
+    n_c = lvl1.grid_m.shape[0]
+    e = jnp.where(lvl1.free[:, None],
+                  jnp.asarray(rng.standard_normal((n_c, dim))), 0.0)
+    f = jnp.where(lvl1.free[:, None],
+                  jnp.asarray(rng.standard_normal((n_c, dim))), 0.0)
+    Ae = mg_mod.level_multiply_any(lvl1, pre_t.mats[1], state.F, hess.ctx,
+                                   state.V0, dt, e)
+    Af = mg_mod.level_multiply_any(lvl1, pre_t.mats[1], state.F, hess.ctx,
+                                   state.V0, dt, f)
+    lhs = float(jnp.vdot(jnp.where(lvl1.free[:, None], Ae, 0.0), f))
+    rhs = float(jnp.vdot(jnp.where(lvl1.free[:, None], Af, 0.0), e))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    # (b) both converge; (c) the CG-count guard
+    assert bool(out_e.converged) and bool(out_t.converged)
+    assert int(out_t.iters) <= max(int(out_e.iters) * 3 // 2,
+                                   int(out_e.iters) + 2), (
+        int(out_t.iters), int(out_e.iters))
+
+
+def test_rap_refresh_lagged():
+    """MultigridConfig.rap_refresh='lagged' (BASELINE.md round-3 lever 2):
+    build_precond(reuse=base) keeps the deep RAP chain + coarse factor
+    from the base build and re-assembles only the first assembled level —
+    at the SAME linearization point the result preconditions identically,
+    and the end-to-end lagged step converges with a bounded CG overhead."""
+    import dataclasses
+
+    from hot_tpu.solver.cg import cg_solve
+    from hot_tpu.utils.config import MultigridConfig, config_from_overrides
+
+    s = _bar_system(res_n=16, levels=3)
+    mgs, state, hess = s["mgs"], s["state"], s["hess"]
+    dt, dim, r = s["dt"], s["dim"], s["r"]
+    mul, prj = s["mul"], s["prj"]
+
+    mcfg = MultigridConfig(levels=3, coarse_solver="direct",
+                           coarsening="galerkin", rap_refresh="lagged")
+    base = mg_mod.build_precond(mgs, state.F, hess.ctx, state.V0, dt, mcfg,
+                                dim)
+    re = mg_mod.build_precond(mgs, state.F, hess.ctx, state.V0, dt, mcfg,
+                              dim, reuse=base)
+    # deep mats/factor reused verbatim; level-0 rebuilt (equal values at
+    # the same linearization point)
+    for l in (1, 2):
+        np.testing.assert_array_equal(np.asarray(re.mats[l].vals),
+                                      np.asarray(base.mats[l].vals))
+    np.testing.assert_allclose(np.asarray(re.mats[0].vals),
+                               np.asarray(base.mats[0].vals), rtol=1e-12)
+    z_b = mg_mod.mg_precondition(mgs, base, state.F, state.V0, dt, mcfg,
+                                 prj(-r))
+    z_r = mg_mod.mg_precondition(mgs, re, state.F, state.V0, dt, mcfg,
+                                 prj(-r))
+    np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_b), rtol=1e-10)
+
+    # end-to-end: the lagged simulation step converges with CG counts
+    # within 2x of the exact refresh
+    def run(refresh):
+        scene = build_scene("twisting_bar_3d", res=16, ppc=4,
+                            dtype=jnp.float64)
+        cfg = config_from_overrides(
+            scene["cfg"],
+            {"solver.preconditioner": "multigrid",
+             "solver.multigrid.levels": 2,
+             "solver.multigrid.coarse_solver": "direct",
+             "solver.multigrid.coarsening": "galerkin",
+             "solver.multigrid.rap_refresh": refresh})
+        sim = Simulation(cfg, scene["state"], scene["model"],
+                         scene["colliders"])
+        cg = 0
+        for _ in range(3):
+            stats = sim.step(8e-3)
+            cg += int(stats.cg_iters)
+        assert all(rec["converged"] for rec in sim.metrics.records)
+        return cg
+
+    cg_newton = run("newton")
+    cg_lagged = run("lagged")
+    assert cg_lagged <= max(2 * cg_newton, cg_newton + 4), (
+        cg_lagged, cg_newton)
