@@ -446,16 +446,8 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
     # exactly ONE cell, so the slot gather is a permutation (no recompute
     # duplication).
     del packed, Z, lam
-    dd = dim * dim
-    n_pairs = len(cm._pairs(dim))
-    raw = jnp.concatenate([
-        stencil.gwn.reshape(n, sd),
-        F_n.reshape(n, dd),
-        ctx.U.reshape(n, dd), ctx.V.reshape(n, dd), ctx.A.reshape(n, dd),
-        ctx.b_plus, ctx.b_minus, V0[:, None],
-    ], axis=1)
+    raw, _, n_pairs = _mode_raw_pack(stencil, F_n, ctx, V0, dim)
     W = raw.shape[1]
-    raw = jnp.concatenate([raw, jnp.zeros((1, W), raw.dtype)], axis=0)
     raw_bytes = cap * (W + Mm * (sd + 1)) * 4
     n_chunks = int(max(1, -(-cells_cap * raw_bytes // chunk_budget)))
     chunk = -(-cells_cap // n_chunks)
@@ -467,38 +459,129 @@ def cell_mode_blocks(bins, stencil: transfer.Stencil, F_n, ctx, V0, dt,
 
     def body(pc):
         rows = transfer.barrier(raw[pc.reshape(-1)])          # (chunk*cap, W)
-        m = rows.shape[0]
-        o = 0
-
-        def take(k, shape):
-            nonlocal o
-            part = rows[:, o:o + k]
-            o += k
-            return part.reshape((m,) + shape)
-
-        gwn_s = take(sd, (s, dim))
-        F_s = take(dd, (dim, dim))
-        U_s = take(dd, (dim, dim))
-        V_s = take(dd, (dim, dim))
-        A_s = take(dd, (dim, dim))
-        bp_s = take(n_pairs, (n_pairs,))
-        bm_s = take(n_pairs, (n_pairs,))
-        V0_s = take(1, ())
-        st_s = transfer.Stencil(
-            node_ids=jnp.zeros((m, s), jnp.int32),
-            wn=jnp.zeros((m, s), rows.dtype), gwn=gwn_s,
-            rel=jnp.zeros((0,), rows.dtype),
-        )
-        ctx_s = cm.HessianContext(U=U_s, V=V_s, A=A_s, b_plus=bp_s,
-                                  b_minus=bm_s)
-        Zc, lamc = _mode_vectors(st_s, F_s, ctx_s, V0_s, dt, dim)
-        Z_s = Zc.reshape(chunk, cap * Mm, sd)
-        lam_s = lamc.reshape(chunk, cap * Mm)
-        B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
-        return B.reshape(chunk, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+        return _chunk_mode_blocks(rows, chunk, cap, s, dim, n_pairs, dt)
 
     out = jax.lax.map(body, p_cell)
     return out.reshape(n_chunks * chunk, s, s, dim, dim)[:cells_cap]
+
+
+def _mode_raw_pack(stencil: transfer.Stencil, F_n, ctx, V0, dim: int):
+    """Concatenate the raw per-particle inputs of `_mode_vectors` into ONE
+    (n + 1, W) matrix (last row = zero pad for invalid slots) so a cell
+    chunk's inputs are a single slot-order gather. ~7.6x smaller per row
+    than gathering precomputed mode vectors (cell_mode_blocks note)."""
+    s = stencil.wn.shape[1]
+    n = stencil.wn.shape[0]
+    sd = s * dim
+    dd = dim * dim
+    n_pairs = len(cm._pairs(dim))
+    raw = jnp.concatenate([
+        stencil.gwn.reshape(n, sd),
+        F_n.reshape(n, dd),
+        ctx.U.reshape(n, dd), ctx.V.reshape(n, dd), ctx.A.reshape(n, dd),
+        ctx.b_plus, ctx.b_minus, V0[:, None],
+    ], axis=1)
+    W = raw.shape[1]
+    raw = jnp.concatenate([raw, jnp.zeros((1, W), raw.dtype)], axis=0)
+    return raw, W, n_pairs
+
+
+def _chunk_mode_blocks(rows, chunk: int, cap: int, s: int, dim: int,
+                       n_pairs: int, dt):
+    """(chunk*cap, W) raw slot rows -> (chunk, s_j, s_i, d, d) block sums
+    (the per-chunk core of cell_mode_blocks: unpack, recompute mode
+    vectors in-chunk, one batched MXU matmul per cell)."""
+    m = rows.shape[0]
+    sd = s * dim
+    dd = dim * dim
+    o = 0
+
+    def take(k, shape):
+        nonlocal o
+        part = rows[:, o:o + k]
+        o += k
+        return part.reshape((m,) + shape)
+
+    gwn_s = take(sd, (s, dim))
+    F_s = take(dd, (dim, dim))
+    U_s = take(dd, (dim, dim))
+    V_s = take(dd, (dim, dim))
+    A_s = take(dd, (dim, dim))
+    bp_s = take(n_pairs, (n_pairs,))
+    bm_s = take(n_pairs, (n_pairs,))
+    V0_s = take(1, ())
+    st_s = transfer.Stencil(
+        node_ids=jnp.zeros((m, s), jnp.int32),
+        wn=jnp.zeros((m, s), rows.dtype), gwn=gwn_s,
+        rel=jnp.zeros((0,), rows.dtype),
+    )
+    ctx_s = cm.HessianContext(U=U_s, V=V_s, A=A_s, b_plus=bp_s,
+                              b_minus=bm_s)
+    Zc, lamc = _mode_vectors(st_s, F_s, ctx_s, V0_s, dt, dim)
+    Mm = lamc.shape[1]
+    Z_s = Zc.reshape(chunk, cap * Mm, sd)
+    lam_s = lamc.reshape(chunk, cap * Mm)
+    B = jnp.einsum("xqr,xqs->xrs", Z_s * lam_s[:, :, None], Z_s)
+    return B.reshape(chunk, dim, s, dim, s).transpose(0, 2, 4, 1, 3)
+
+
+def cell_mode_blocks_scatter(bins, stencil: transfer.Stencil, F_n, ctx, V0,
+                             dt, dim: int, vals, rows_j, off_id,
+                             chunk_budget: int = 512 * 2 ** 20):
+    """Scan-FUSED mode assembly: compute each cell chunk's stencil blocks
+    and scatter them into `vals` inside one lax.scan body, so the full
+    (cells_cap, s, s, d, d) block tensor NEVER materializes.
+
+    Why (128^3 composed level-1, probe_mg_build_mem): cell_mode_blocks +
+    separate scatter carries 8.2 GB of temps (1.24 GB blocks output + 2
+    double-buffered ~1.6 GB chunk working sets) — on top of the solve
+    residents that is the round-4 runtime OOM. Fused, the peak is ONE
+    chunk working set (~chunk_budget) + the vals carry (~0.3 GB).
+
+    vals:   (n_rows_pad, K, d*d) zero-initialized scatter target (carried
+            through the scan — callers slice off their dump-row pad).
+    rows_j: (s, cells_cap) int32 PRE-RESOLVED target row per (stencil
+            offset j, cell); invalid entries must already point at
+            caller-provided dump rows inside n_rows_pad.
+    off_id: (s, s) static numpy column-id table (offset of stencil node i
+            relative to j in the (2*half+1)-wide structure).
+    """
+    import numpy as _np
+
+    s = stencil.wn.shape[1]
+    n = stencil.wn.shape[0]
+    cells_cap, cap = bins.p_cell.shape
+    dd = dim * dim
+    assert rows_j.shape == (s, cells_cap), (rows_j.shape, (s, cells_cap))
+
+    raw, W, n_pairs = _mode_raw_pack(stencil, F_n, ctx, V0, dim)
+    Mm = dim + 2 * n_pairs
+    sd = s * dim
+    per_cell = (cap * (W + Mm * (sd + 1)) + s * s * dd) * 4
+    n_chunks = int(max(1, -(-cells_cap * per_cell // chunk_budget)))
+    chunk = -(-cells_cap // n_chunks)
+    pad_cells = n_chunks * chunk - cells_cap
+    p_cell = jnp.concatenate(
+        [bins.p_cell, jnp.full((pad_cells, cap), n, bins.p_cell.dtype)],
+        axis=0).reshape(n_chunks, chunk, cap)
+    # pad cells scatter to the LAST dump row (their blocks are zero: every
+    # slot gathers the zero pad row of `raw`)
+    rows_pad = jnp.full((s, pad_cells), vals.shape[0] - 1, rows_j.dtype)
+    rows_sc = jnp.concatenate([rows_j, rows_pad], axis=1).reshape(
+        s, n_chunks, chunk).transpose(1, 0, 2)            # (n_chunks, s, chunk)
+    cols = [jnp.asarray(_np.asarray(off_id[j]), jnp.int32) for j in range(s)]
+
+    def body(v, xs):
+        pc, rj = xs
+        rows = transfer.barrier(raw[pc.reshape(-1)])
+        blocks = _chunk_mode_blocks(rows, chunk, cap, s, dim, n_pairs, dt)
+        for j in range(s):
+            v = v.at[rj[j][:, None], cols[j][None, :]].add(
+                blocks[:, j].reshape(chunk, s, dd), unique_indices=True)
+        return v, None
+
+    vals, _ = jax.lax.scan(body, vals, (p_cell, rows_sc))
+    return vals
 
 
 def stencil_offset_table(dim: int, s: int):

@@ -199,9 +199,10 @@ def _scatter_cell_blocks(vals, blocks, bins, res_L, mat, tgrid,
     return vals
 
 
-def _scatter_cell_scalars(scal, blocks, bins, res_L, mat, tgrid,
+def _scatter_cell_scalars(scal, blocks_flat, bins, res_L, mat, tgrid,
                           width: int, half: int):
-    """Scatter per-cell SCALAR blocks (cells, s_j, s_i) into a padded
+    """Scatter per-cell SCALAR blocks (cells, s_j*s_i FLAT — the 3-D form
+    tile-pads (sm, sm) -> (32, 128) = 4.7x) into a padded
     (n_rows + cells_cap, K) buffer. The caller expands to the block
     diagonal afterwards — the old scalar * eye broadcast per j left ~27
     live remat clones of a (cells, s, d*d) fusion (1.23 GB each = the
@@ -217,7 +218,7 @@ def _scatter_cell_scalars(scal, blocks, bins, res_L, mat, tgrid,
         r_j = jnp.where(r_j >= 0, r_j, dump_rows)
         cols_j = jnp.asarray(off_id[j], jnp.int32)
         scal = scal.at[r_j[:, None], cols_j[None, :]].add(
-            blocks[:, j], unique_indices=True
+            blocks_flat[:, j * s:(j + 1) * s], unique_indices=True
         )
     return scal
 
@@ -256,12 +257,26 @@ def assemble_composed_galerkin(
         node_ids=jnp.zeros(wn.shape, jnp.int32), wn=wn, gwn=gwn,
         rel=jnp.zeros(gwn.shape, wn.dtype),
     )
-    blocks_k = bsr_mod.cell_mode_blocks(p_bins, st_c, F_n, ctx, V0, dt, dim)
-
+    # scan-FUSED blocks+scatter (round 5): the separate
+    # cell_mode_blocks -> _scatter_cell_blocks pipeline materializes the
+    # full (cells, s, s, d, d) block tensor (1.24 GB at 128^3) on top of
+    # two ~1.6 GB chunk working sets — 8.2 GB of temps by XLA's memory
+    # analysis, the runtime-OOM half of the round-4 mg-build failure.
+    # Pre-resolving the per-(offset, cell) scatter rows lets the scatter
+    # run inside the chunk scan: peak = one chunk + the vals carry.
+    s_el = width**dim
+    offs_el, off_id_el = _offset_tables(dim, width, half)
+    dump_rows = n_rows + jnp.arange(cells_cap, dtype=jnp.int32)
+    rows_j = []
+    for j in range(s_el):
+        r_j = _rows_for_cells(p_bins.active_cells, offs_el[j], res_L, mat,
+                              tgrid)
+        rows_j.append(jnp.where(r_j >= 0, r_j, dump_rows))
+    rows_j = jnp.stack(rows_j, axis=0)                  # (s, cells_cap)
     vals = jnp.zeros((n_rows + max(cells_cap, ncells_cap), mat.K, dd),
-                     blocks_k.dtype)
-    vals = _scatter_cell_blocks(vals, blocks_k, p_bins, res_L, mat, tgrid,
-                                width, half)
+                     wn.dtype)
+    vals = bsr_mod.cell_mode_blocks_scatter(
+        p_bins, st_c, F_n, ctx, V0, dt, dim, vals, rows_j, off_id_el)
 
     # ---- inertia part: P^T diag(m_fine) P ------------------------------
     nb, nw = composed_node_weights(node_coords, L, comp_w.dtype)
@@ -278,7 +293,14 @@ def assemble_composed_galerkin(
     slot_rows = transfer.barrier(slot_rows)
     cap_n = n_bins.p_cell.shape[1]
     W = slot_rows.reshape(ncells_cap, cap_n, sm)
-    Bm = jnp.einsum("xqa,xqb->xab", W, W)                  # (cells, sm, sm)
+    # per-cell sums B = W^T W. The (cells, sm, sm) output tile-pads
+    # (27, 27) -> (32, 128) = 5.6x, so ncells_cap must be the ACTIVE
+    # composed-cell count (plan_capacities mg_ncomposed_caps), not the
+    # full extended coarse grid: at 128^3 the full-grid 287k cells made
+    # this 3.9 GB (probe_mg_build_mem "mass_part"). A flat strided-column
+    # rewrite was tried and is WORSE: each W[:, :, a] minor-axis slice
+    # materializes (cells, q, 1) padded 128x (1.1 GB per remat clone).
+    Bm = jnp.einsum("xqa,xqb->xab", W, W).reshape(ncells_cap, sm * sm)
     # scatter scalar blocks * I — note the mass stencil is narrower than
     # the particle one (sm_width <= width); its offset ids use `half` too
     m_width = round(sm ** (1.0 / dim))

@@ -34,6 +34,12 @@ class CapacityPlan:
     mg_coarse_cap: Optional[int] = None               # coarse-factor rows
     mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None
     mg_composed_caps: Optional[Tuple[int, int]] = None
+    # composed-Galerkin NODE bins (cells with >=1 ACTIVE fine node, nodes
+    # per cell): the full extended coarse grid is ~34x the active count at
+    # 128^3 (287k vs ~8k cells) and the mass part's (cells, sm, sm) Gram
+    # blocks tile-pad 5.6x — sizing by active cells is what keeps the
+    # composed build's mass half at ~0.1 GB instead of 3.9 GB.
+    mg_ncomposed_caps: Optional[Tuple[int, int]] = None
 
 
 # ---------------------------------------------------------------- probes
@@ -163,6 +169,8 @@ def plan_capacities(cfg, x, grow: float = 1.0) -> CapacityPlan:
         res_L, _ = _level_geometry(cfg, L)
         plan["mg_composed_caps"] = comp_mod.composed_bin_caps_host(
             x, cfg.dx, L, tuple(int(r) for r in res_L), dim, grow=grow)
+        plan["mg_ncomposed_caps"] = composed_node_cells(
+            x, cfg, L, tuple(int(r) for r in res_L), grow=grow)
 
     if not sol.matrix_free and cfg.grid_backend == "dense":
         res0, dx0 = _level_geometry(cfg, 0)
@@ -170,6 +178,36 @@ def plan_capacities(cfg, x, grow: float = 1.0) -> CapacityPlan:
             grow * (1.2 * tile_count(x, res0, dx0, dim) + 8)))
 
     return CapacityPlan(**plan)
+
+
+def composed_node_cells(x, cfg, L: int, res_L, grow: float = 1.0
+                        ) -> Tuple[int, int]:
+    """(active composed-node cells, nodes per cell) for the mass half of
+    the composed-Galerkin assembly: cells of the level-L EXT grid holding
+    >=1 ACTIVE fine node (nodes touched by any particle stencil — a
+    superset of the mass>0 nodes binned on device, so the cap is safe).
+    Nodes per cell is exactly 2^(dim*L) (each coarse cell owns that many
+    fine embedding bases)."""
+    x = np.asarray(x)
+    dim = cfg.dim
+    res0 = np.asarray(cfg.grid_res[:dim], np.int64)
+    base = _base_nodes(x, res0, cfg.dx)
+    strides = _strides(res0)
+    offs = np.stack(np.meshgrid(*([np.arange(3)] * dim), indexing="ij"),
+                    -1).reshape(-1, dim)
+    ids = np.unique(np.concatenate(
+        [(np.clip(base + off, 0, res0 - 1) * strides).sum(axis=1)
+         for off in offs]))
+    coords = np.stack(
+        [ids // strides[a] % res0[a] for a in range(dim)], axis=-1)
+    for _ in range(L):
+        coords = (coords - 1) >> 1
+    key = np.zeros(coords.shape[0], np.int64)
+    for a in range(dim):
+        key = key * (int(res_L[a]) + 2) + np.clip(coords[:, a] + 1, 0,
+                                                  int(res_L[a]) + 1)
+    n_cells = len(np.unique(key))
+    return (int(grow * (1.15 * n_cells + 16)), 2 ** (dim * L))
 
 
 # ------------------------------------------------------------------ grow

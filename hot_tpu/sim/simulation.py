@@ -64,6 +64,7 @@ def advance_one_step(
     mg_coarse_cap: Optional[int] = None,  # active-row cap of the dense coarse factor
     mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,  # exact per-MG-level bin caps
     mg_composed_caps: Optional[Tuple[int, int]] = None,  # composed-Galerkin bins
+    mg_ncomposed_caps: Optional[Tuple[int, int]] = None,
 ) -> Tuple[ParticleState, StepStats]:
     """One implicit backward-Euler MPM step (pure function; jit over it).
 
@@ -80,6 +81,7 @@ def advance_one_step(
             plasticity=plasticity, bin_caps=bin_caps, mg_tile_caps=mg_tile_caps,
             bsr_tile_cap=bsr_tile_cap, mg_coarse_cap=mg_coarse_cap,
             mg_bin_caps=mg_bin_caps, mg_composed_caps=mg_composed_caps,
+            mg_ncomposed_caps=mg_ncomposed_caps,
         )
 
 
@@ -98,6 +100,7 @@ def _advance_one_step_impl(
     mg_coarse_cap: Optional[int] = None,
     mg_bin_caps: Optional[Tuple[Tuple[int, int], ...]] = None,
     mg_composed_caps: Optional[Tuple[int, int]] = None,
+    mg_ncomposed_caps: Optional[Tuple[int, int]] = None,
 ) -> Tuple[ParticleState, StepStats]:
     dim = cfg.dim
     res = cfg.grid_res[:dim]
@@ -372,6 +375,7 @@ def _advance_one_step_impl(
             dense_switch=sol.multigrid.sparse_dense_switch,
             assembled_from=sol.multigrid.assembled_from_level,
             mg_composed_caps=mg_composed_caps,
+            mg_ncomposed_caps=mg_ncomposed_caps,
         )
         if mg_static.overflow is not None:
             grid_overflow = jnp.logical_or(grid_overflow, mg_static.overflow)
@@ -610,6 +614,7 @@ class Simulation:
                 mg_coarse_cap=plan.mg_coarse_cap,
                 mg_bin_caps=plan.mg_bin_caps,
                 mg_composed_caps=plan.mg_composed_caps,
+                mg_ncomposed_caps=plan.mg_ncomposed_caps,
             )
         )
 

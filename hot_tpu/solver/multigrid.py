@@ -157,6 +157,7 @@ def build_static(
     bin_caps=None, mg_tile_caps=None, mg_bin_caps=None,
     kernel: str = "quadratic", dense_switch=None, assembled_from: int = 0,
     mg_composed_caps=None,
+    mg_ncomposed_caps=None,
 ) -> MGStatic:
     """Per-step hierarchy topology/mass/BC (reference: buildHierarchy's
     level setup; rebuilt when particles move, SURVEY.md §3.4).
@@ -326,9 +327,16 @@ def build_static(
             nb = node_coords
             for _ in range(l):
                 nb = jnp.floor_divide(nb - 1, 2)
+            # cells capacity: ACTIVE composed cells when planned
+            # (capacity.composed_node_cells — the full ext coarse grid is
+            # ~34x oversized at 128^3 and the Gram blocks pad 5.6x);
+            # full-grid fallback when driven without a planner
+            nc_cells, nc_cap = (mg_ncomposed_caps if mg_ncomposed_caps
+                                else (min(nf, comp_mod.n_ext(cur_res)),
+                                      2 ** (len(res) * l)))
             n_bins = transfer.bin_by_ids(
                 comp_mod.ext_key(nb, cur_res), comp_mod.n_ext(cur_res),
-                min(nf, comp_mod.n_ext(cur_res)), 2 ** (len(res) * l),
+                int(nc_cells), int(nc_cap),
                 valid=node_m > 0,
             )
             overflow = jnp.logical_or(overflow, n_bins.overflow)

@@ -192,7 +192,8 @@ def main():
             bin_caps=plan_mg.bin_caps, mg_tile_caps=plan_mg.mg_tile_caps,
             mg_bin_caps=plan_mg.mg_bin_caps,
             assembled_from=mgc.assembled_from_level,
-            mg_composed_caps=plan_mg.mg_composed_caps)),
+            mg_composed_caps=plan_mg.mg_composed_caps,
+            mg_ncomposed_caps=plan_mg.mg_ncomposed_caps)),
         state.x, state.m, constrained)
     pre, build_ms = phase("mg-build", jax.jit(
         lambda mg_, F, c, V0: mg_mod.build_precond(mg_, F, c, V0, dt, mgc,

@@ -88,7 +88,8 @@ def main():
         bin_caps=plan.bin_caps, mg_tile_caps=plan.mg_tile_caps,
         mg_bin_caps=plan.mg_bin_caps,
         assembled_from=mgc.assembled_from_level,
-        mg_composed_caps=plan.mg_composed_caps))(
+        mg_composed_caps=plan.mg_composed_caps,
+        mg_ncomposed_caps=plan.mg_ncomposed_caps))(
         state.x, state.m, constrained)
     jax.block_until_ready(mg_static.levels[0].grid_m)
     print(f"[static] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -110,15 +111,22 @@ def main():
         print(json.dumps(out), flush=True)
         return c
 
-    # the full per-Newton build
-    t0 = time.perf_counter()
-    lowered = jax.jit(lambda mg_, F, c, V0: mg_mod.build_precond(
-        mg_, F, c, V0, dt, mgc, dim)).lower(mg_static, state.F, ctx,
-                                            state.V0)
-    print(f"[lower] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    report("build_precond", lowered)
-    print(f"[compile] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # the full per-Newton build (PROBE_SKIP_FULL=1 to probe pieces only —
+    # a compile-helper crash on the full program would otherwise mask them)
+    if os.environ.get("PROBE_SKIP_FULL") != "1":
+        t0 = time.perf_counter()
+        lowered = jax.jit(lambda mg_, F, c, V0: mg_mod.build_precond(
+            mg_, F, c, V0, dt, mgc, dim)).lower(mg_static, state.F, ctx,
+                                                state.V0)
+        print(f"[lower] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        try:
+            report("build_precond", lowered)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": "build_precond",
+                              "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                  flush=True)
+        print(f"[compile] {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # the composed level-1 assembly alone
     from hot_tpu.ops import composed as comp_mod
@@ -181,7 +189,8 @@ def main():
             slot_rows = transfer.barrier(slot_rows)
             ncells_cap, cap_n = c.n_bins.p_cell.shape
             W = slot_rows.reshape(ncells_cap, cap_n, sm)
-            Bm = jnp2.einsum("xqa,xqb->xab", W, W)
+            Bm = jnp2.einsum("xqa,xqb->xab", W, W).reshape(
+                ncells_cap, sm * sm)
             m_width = int(round(sm ** (1.0 / dim)))
             scal = jnp2.zeros((mat.n_rows + ncells_cap, mat.K), Bm.dtype)
             return comp_mod._scatter_cell_scalars(
@@ -189,6 +198,82 @@ def main():
                 lv.tgrid if lv.compact else None, m_width, mat.half)
 
         report("mass_part", jax.jit(mass_part).lower(lvl))
+
+        def elastic_fused(lv, F, cx, V0):
+            wn, gwn = tensor_weights(lv.comp.comp_w, lv.comp.comp_dw,
+                                     impl="flat")
+            st_c = transfer.Stencil(
+                node_ids=jnp2.zeros(wn.shape, jnp2.int32), wn=wn, gwn=gwn,
+                rel=jnp2.zeros(gwn.shape, wn.dtype))
+            mat = lv.mat_sym
+            width = lv.comp.comp_w.shape[-1]
+            s_el = width ** dim
+            cells_cap = lv.comp.p_bins.p_cell.shape[0]
+            offs_el, off_id_el = comp_mod._offset_tables(dim, width,
+                                                         mat.half)
+            dump_rows = mat.n_rows + jnp2.arange(cells_cap, dtype=jnp2.int32)
+            rows_j = []
+            for j in range(s_el):
+                r_j = comp_mod._rows_for_cells(
+                    lv.comp.p_bins.active_cells, offs_el[j], lv.res, mat,
+                    lv.tgrid if lv.compact else None)
+                rows_j.append(jnp2.where(r_j >= 0, r_j, dump_rows))
+            rows_j = jnp2.stack(rows_j, axis=0)
+            vals = jnp2.zeros((mat.n_rows + cells_cap, mat.K, dim * dim),
+                              wn.dtype)
+            return bsr_mod.cell_mode_blocks_scatter(
+                lv.comp.p_bins, st_c, F, cx, V0, dt, dim, vals, rows_j,
+                off_id_el)
+
+        report("elastic_fused_scatter",
+               jax.jit(elastic_fused).lower(lvl, state.F, ctx, state.V0))
+
+        # ---- the REST of build_precond: RAP chain + diag/lmax ----------
+        from hot_tpu.ops import spgemm
+
+        mat_l1 = jax.jit(
+            lambda lv, F, cx, V0: comp_mod.assemble_composed_galerkin(
+                lv.mat_sym, args.from_level, lv.res, F, cx, V0, dt,
+                lv.comp.node_coords, lv.comp.node_m, lv.comp.p_bins,
+                lv.comp.n_bins, lv.comp.comp_w, lv.comp.comp_dw,
+                tgrid=(lv.tgrid if lv.compact else None))
+        )(lvl, state.F, ctx, state.V0)
+        jax.block_until_ready(mat_l1.vals)
+
+        def rap_chain(m1):
+            mats = [m1]
+            prev = m1
+            for l in range(args.from_level + 1, args.levels):
+                lv2 = mg_static.levels[l]
+                if lv2.compact:
+                    prev = spgemm.rap(prev, lv2.res, None, 0,
+                                      coarse_tgrid=lv2.tgrid,
+                                      max_half=mgc.rap_max_half)
+                else:
+                    cap = lv2.mat_sym.n_rows
+                    if l == args.levels - 1 and mgc.coarse_capacity:
+                        cap = int(mgc.coarse_capacity)
+                    prev = spgemm.rap(prev, lv2.res, lv2.active, cap,
+                                      max_half=mgc.rap_max_half)
+                mats.append(prev)
+            return tuple(m.vals for m in mats[1:])
+
+        report("rap_chain", jax.jit(rap_chain).lower(mat_l1))
+
+        def l0_smoother_data(F, cx, V0):
+            lv0 = mg_static.levels[0]
+            D = obj_mod.elastic_block_diag(
+                lv0.stencil, F, cx, V0, dt, lv0.grid_m, lv0.active, dim,
+                scatter=lv0.scatter)
+            Dinv = jnp2.linalg.inv(D)
+            mul, proj = mg_mod._level_ops_dense(lv0, F, cx, V0, dt)
+            v0p = lv0.free[:, None] * jnp2.ones((1, dim), F.dtype)
+            lam = mg_mod._power_iteration_lmax(mul, proj, Dinv, v0p,
+                                               mgc.power_iters)
+            return Dinv, lam
+
+        report("l0_diag_lmax",
+               jax.jit(l0_smoother_data).lower(state.F, ctx, state.V0))
         print(json.dumps({
             "probe": "caps",
             "p_bins": list(lvl.comp.p_bins.p_cell.shape),
