@@ -193,6 +193,57 @@ def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
     return jnp.where(active[:, None], out, w)
 
 
+def elastic_hessian_apply_modes_flat(stencil, F_n, ctx, V0, dt, grid_m,
+                                     active, w, bins, res):
+    """Matrix-free (M + dt^2 K) w via the rank-1 MODE factorization in
+    fully FLAT 2D form: H_elastic = Z diag(lam) Z^T with the (n, M*s*d)
+    mode matrix of ops.bsr._mode_vectors (lam already carries dt^2 V0),
+    window values gathered/scattered as flat k-major rows.
+
+    Why this exists: the generic unfused chain (velocity_gradient ->
+    vmap(apply_hessian) -> scatter_force) materializes (n, 3, 3)-class
+    temps that XLA pins row-major inside large programs — 12.35 GB of
+    temps for ONE power-iteration piece at 128^3 / 400k particles
+    (scripts/probe_mg_build_mem "l0_diag_lmax"). Here every HBM array is
+    (n, s), (n, M) or (n, M*s*d) — the layout-safe 2D class — at ~3x the
+    FLOPs (2 M s d MACs/particle), a VPU-regular trade. Exactly equal to
+    the assembled operator (same modes — tested via the assembly-equality
+    suites) and to the unfused apply on active windows.
+
+    Requires dense-grid CellBins (window_gather_flat); callers fall back
+    to elastic_hessian_apply without them.
+    """
+    from hot_tpu.ops import bsr as bsr_mod
+
+    n, s = stencil.wn.shape
+    d = w.shape[-1]
+    sd = s * d
+    Z, lam = bsr_mod._mode_vectors(stencil, F_n, ctx, V0, dt, d)
+    Mm = lam.shape[1]
+    rows = transfer.window_gather_flat(bins, w, res)          # (n, s*d) k-major
+    # q_m = z_m . window  (Z columns are b*s + j — component-major)
+    qs = []
+    for m_ in range(Mm):
+        acc = None
+        for b in range(d):
+            t = (Z[:, m_ * sd + b * s:m_ * sd + (b + 1) * s]
+                 * rows[:, b::d])
+            acc = t if acc is None else acc + t
+        qs.append(jnp.sum(acc, axis=1, keepdims=True))        # (n, 1)
+    # contrib = sum_m lam_m q_m z_m, written back in k-major order
+    contrib = jnp.zeros((n, sd), w.dtype)
+    for b in range(d):
+        cb = None
+        for m_ in range(Mm):
+            t = (lam[:, m_:m_ + 1] * qs[m_]) * \
+                Z[:, m_ * sd + b * s:m_ * sd + (b + 1) * s]
+            cb = t if cb is None else cb + t
+        contrib = contrib.at[:, b::d].set(cb)
+    dKw = transfer.binned_scatter_flat(bins, contrib, res, d)  # dt^2 K w
+    out = grid_m[:, None] * w + dKw
+    return jnp.where(active[:, None], out, w)
+
+
 def multiply(obj: ObjectiveContext, hess: HessianState, w,
              scatter=transfer.default_scatter,
              gather_st=transfer.default_gather_stencil,
@@ -246,7 +297,7 @@ def multiply_cl(obj: ObjectiveContext, params_cl, w, bins, res,
 
 
 def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
-                       scatter=transfer.default_scatter):
+                       scatter=transfer.default_scatter, flat: bool = False):
     """Per-node (d, d) diagonal blocks of M + dt^2 K — the block-Jacobi
     preconditioner/smoother basis (reference: HOT's --Ainv block-diagonal
     option, component #38).
@@ -324,9 +375,18 @@ def elastic_block_diag(stencil, F_n, ctx, V0, dt, grid_m, active, dim: int,
         for b in range(d):
             cols[a * d + b] = acc_ab[a][b] if a <= b else acc_ab[b][a]
     blocks_flat = jnp.stack(cols, axis=-1)               # (n, s, dd)
-    K_diag = scatter(
-        stencil, blocks_flat, grid_m.shape[0]
-    ).reshape(-1, dim, dim)
+    K_flat = scatter(stencil, blocks_flat, grid_m.shape[0])  # (n_nodes, dd)
+    if flat:
+        # FLAT (n_nodes, d*d) output: an (n_nodes, 3, 3) D consumed
+        # in-program (linalg.inv's LU, einsum) pins row-major and pads
+        # (3, 3) -> (8, 128) = 113x — 8.6 GB per temp at 128^3's 2.1M
+        # dense nodes (probe_mg_build_mem "l0_diag_only"); the 2-D flat
+        # form pads 14x transiently and its consumers (sym_block_inv_flat,
+        # multigrid._bapply) are strided-column elementwise
+        eye_flat = jnp.eye(dim, dtype=K_flat.dtype).reshape(1, dim * dim)
+        D = grid_m[:, None] * eye_flat + K_flat
+        return jnp.where(active[:, None], D, eye_flat)
+    K_diag = K_flat.reshape(-1, dim, dim)
     eye = jnp.eye(dim, dtype=K_diag.dtype)
     D = grid_m[:, None, None] * eye[None] + K_diag
     return jnp.where(active[:, None, None], D, eye[None])
@@ -375,6 +435,44 @@ def sym_block_inv(D):
     row1 = jnp.stack([A01, A11, A12], -1)
     row2 = jnp.stack([A02, A12, A22], -1)
     return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
+def sym_block_inv_flat(Df, dim: int):
+    """sym_block_inv on FLAT (n, d*d) symmetric blocks -> flat (n, d*d)
+    inverses: identical adjugate/determinant arithmetic read and written
+    through strided columns, so no (n, d, d) array ever exists in the
+    program (the 113x in-program padding class — see elastic_block_diag
+    flat=True). Same fp32 max-diagonal scale normalization."""
+    d = dim
+    dd = d * d
+
+    def comp(a, b):
+        return Df[:, a * d + b]
+
+    diag = [comp(i, i) for i in range(d)]
+    s = jnp.maximum(jnp.abs(diag[0]), 1e-30)
+    for i in range(1, d):
+        s = jnp.maximum(s, jnp.abs(diag[i]))
+    if d == 2:
+        a, b, c = comp(0, 0) / s, comp(0, 1) / s, comp(1, 1) / s
+        det = a * c - b * b
+        inv_det = 1.0 / (det * s)
+        cols = [c, -b, -b, a]
+        return jnp.stack([col * inv_det for col in cols], axis=-1)
+    assert d == 3, d
+    a, b, c = comp(0, 0) / s, comp(0, 1) / s, comp(0, 2) / s
+    e, f = comp(1, 1) / s, comp(1, 2) / s
+    g = comp(2, 2) / s
+    A00 = e * g - f * f
+    A01 = c * f - b * g
+    A02 = b * f - c * e
+    A11 = a * g - c * c
+    A12 = b * c - a * f
+    A22 = a * e - b * b
+    det = a * A00 + b * A01 + c * A02
+    inv_det = 1.0 / (det * s)
+    cols = [A00, A01, A02, A01, A11, A12, A02, A12, A22]
+    return jnp.stack([col * inv_det for col in cols], axis=-1)
 
 
 def project(obj: ObjectiveContext, r):

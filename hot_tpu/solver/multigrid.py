@@ -414,6 +414,14 @@ def build_static(
 
 
 def level_multiply(level: MGLevel, F_n, ctx, V0, dt, w):
+    if level.bins is not None and not level.compact:
+        # flat mode-form apply: the generic unfused chain's (n, 3, 3)
+        # vmap temps pin row-major inside large programs (12.35 GB for
+        # the 128^3 level-0 power iteration — probe_mg_build_mem)
+        return obj_mod.elastic_hessian_apply_modes_flat(
+            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active,
+            w, level.bins, level.res,
+        )
     out = obj_mod.elastic_hessian_apply(
         level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, w,
         scatter=level.scatter, gather_st=level.gather_st,
@@ -513,9 +521,50 @@ def _level_ops_dense(level: MGLevel, F_n, ctx, V0, dt):
     return mul, proj
 
 
+def _level_smoother_data(level: MGLevel, mat, F_n, ctx, V0, dt,
+                         cfg: MultigridConfig, need_lmax: bool, dim: int):
+    """One level's per-Newton smoother data: block-diagonal inverse +
+    (Chebyshev) power-iteration lambda_max. mat = the level's explicit
+    operator (tile-row or compressed-row), None for matrix-free levels."""
+    if mat is not None:
+        from hot_tpu.ops import bsr as bsr_mod
+
+        free_rows = _free_rows_of(level, mat)
+        eye = jnp.eye(dim, dtype=mat.vals.dtype)
+        D = jnp.where(free_rows[:, None, None],
+                      bsr_mod.block_diag(mat), eye[None])
+        # jnp.linalg.inv here, NOT sym_block_inv: the analytic
+        # inverse inside the assembled-MG program triggers an
+        # XLA:TPU compiler abort (signal 6, jellyfish
+        # windowing_util.cc:636, 2026-08-21); these per-level
+        # diagonals are small, so LU cost is negligible here
+        Dinv = jnp.linalg.inv(D)
+        mul, proj = _level_ops_rows(level, mat)
+        v0 = free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
+    else:
+        # FLAT diag + analytic flat inverse for matrix-free levels: the
+        # (n, 3, 3) D through linalg.inv's batched LU pads 113x in-program
+        # (12.2 GB at 128^3's 2.1M dense nodes — "l0_diag_only" probe).
+        # The flat analytic form is a different program than the (n,3,3)
+        # sym_block_inv that hit the jellyfish compiler abort inside
+        # assembled-MG programs (watched by the mg_asm1 on-chip A/B).
+        D = obj_mod.elastic_block_diag(
+            level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active,
+            dim, scatter=level.scatter, flat=True,
+        )
+        Dinv = obj_mod.sym_block_inv_flat(D, dim)
+        mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
+        v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
+    if need_lmax:
+        lam = _power_iteration_lmax(mul, proj, Dinv, v0, cfg.power_iters)
+    else:
+        lam = jnp.ones((), F_n.dtype)
+    return Dinv, lam
+
+
 def build_precond(
     mg: MGStatic, F_n, ctx, V0, dt, cfg: MultigridConfig, dim: int,
-    reuse: "MGPrecond" = None,
+    reuse: "MGPrecond" = None, exe=None,
 ) -> MGPrecond:
     """Per-Newton-iteration smoother data: block diagonals + lambda_max.
 
@@ -531,7 +580,19 @@ def build_precond(
     level (the one built from particles) and every level's smoother
     diagonals/lmax are rebuilt fresh. SPD is preserved (the lagged mats
     were SPD at their build point), so PCG still converges; the cost is
-    a few extra CG iterations under large per-Newton rotation."""
+    a few extra CG iterations under large per-Newton rotation.
+
+    exe: optional executor `exe(f, *arrays) -> f(*arrays)` wrapping each
+    build PIECE (one level's assembly/RAP, one level's smoother data, the
+    coarse factor). Default None runs everything inline (one traced
+    program — required inside the jitted step). A deadline/memory-bound
+    harness passes `lambda f, *a: jax.jit(f)(*a)` from OUTSIDE jit so
+    every piece is its own device execution: XLA's scheduler overlaps
+    the independent pieces' lifetimes inside one program (12.6 GB temps
+    at 128^3 where the largest single piece is 3.0 GB —
+    scripts/probe_mg_build_mem.py), and a phased build caps the peak at
+    max(piece) + residents."""
+    run = exe if exe is not None else (lambda f, *a: f(*a))
     diag_inv = []
     lmax = []
     mats = []
@@ -568,9 +629,11 @@ def build_precond(
 
                 if level.compact:
                     # tile-compacted coarse rows (sparse backend)
-                    mat = spgemm.rap(prev_mat, level.res, None, 0,
-                                     coarse_tgrid=level.tgrid,
-                                     max_half=cfg.rap_max_half)
+                    mat = run(
+                        lambda lv, pm: spgemm.rap(
+                            pm, lv.res, None, 0, coarse_tgrid=lv.tgrid,
+                            max_half=cfg.rap_max_half),
+                        level, prev_mat)
                 else:
                     cap = level.mat_sym.n_rows
                     if (l == len(mg.levels) - 1
@@ -583,8 +646,11 @@ def build_precond(
                         # ~600 MB factor the active-rows coarse_capacity
                         # fix exists to avoid
                         cap = int(cfg.coarse_capacity)
-                    mat = spgemm.rap(prev_mat, level.res, level.active, cap,
-                                     max_half=cfg.rap_max_half)
+                    mat = run(
+                        lambda lv, pm, cap_=cap: spgemm.rap(
+                            pm, lv.res, lv.active, cap_,
+                            max_half=cfg.rap_max_half),
+                        level, prev_mat)
             elif galerkin and level.comp is not None:
                 # composed-stencil Galerkin (ops.composed): exact
                 # P^T A_0 P from particles + fine node masses — the first
@@ -592,13 +658,15 @@ def build_precond(
                 # explicit fine matrix exists to RAP from)
                 from hot_tpu.ops import composed as comp_mod
 
-                c = level.comp
-                mat = comp_mod.assemble_composed_galerkin(
-                    level.mat_sym, l, level.res, F_n, ctx, V0, dt,
-                    c.node_coords, c.node_m, c.p_bins, c.n_bins,
-                    c.comp_w, c.comp_dw,
-                    tgrid=(level.tgrid if level.compact else None),
-                )
+                mat = run(
+                    lambda lv, F, cx, V0_, l_=l:
+                        comp_mod.assemble_composed_galerkin(
+                            lv.mat_sym, l_, lv.res, F, cx, V0_, dt,
+                            lv.comp.node_coords, lv.comp.node_m,
+                            lv.comp.p_bins, lv.comp.n_bins,
+                            lv.comp.comp_w, lv.comp.comp_dw,
+                            tgrid=(lv.tgrid if lv.compact else None)),
+                    level, F_n, ctx, V0)
             elif level.compact:
                 from hot_tpu.ops import bsr_tiled
 
@@ -607,53 +675,39 @@ def build_precond(
                         "assembled MG on the sparse backend needs tile "
                         "bins (transfer_impl='binned' or mg_bin_caps)"
                     )
-                mat = bsr_tiled.assemble_hessian_modes_tiled(
-                    level.mat_sym, level.bins, level.tgrid, level.stencil,
-                    F_n, ctx, V0, dt, level.grid_m
-                )
+                mat = run(
+                    lambda lv, F, cx, V0_:
+                        bsr_tiled.assemble_hessian_modes_tiled(
+                            lv.mat_sym, lv.bins, lv.tgrid, lv.stencil,
+                            F, cx, V0_, dt, lv.grid_m),
+                    level, F_n, ctx, V0)
             elif level.bins is not None:
                 # scatter-free rank-1-mode assembly (XLA:TPU serializes
                 # colliding scatter-adds, and the einsum formulation's 6D
                 # dPdF intermediates tile-pad 19-57x — docs/KERNEL_PLAN.md)
-                mat = bsr_mod.assemble_hessian_modes(
-                    level.mat_sym, level.bins, level.stencil, F_n, ctx, V0,
-                    dt, level.grid_m
-                )
+                mat = run(
+                    lambda lv, F, cx, V0_: bsr_mod.assemble_hessian_modes(
+                        lv.mat_sym, lv.bins, lv.stencil, F, cx, V0_,
+                        dt, lv.grid_m),
+                    level, F_n, ctx, V0)
             else:
-                mat = bsr_mod.assemble_hessian(
-                    level.mat_sym, level.stencil, F_n, ctx, V0, dt, level.grid_m
-                )
+                mat = run(
+                    lambda lv, F, cx, V0_: bsr_mod.assemble_hessian(
+                        lv.mat_sym, lv.stencil, F, cx, V0_, dt, lv.grid_m),
+                    level, F_n, ctx, V0)
             mats.append(mat)
             prev_mat = mat
-            free_rows = _free_rows_of(level, mat)
-            eye = jnp.eye(dim, dtype=mat.vals.dtype)
-            D = jnp.where(free_rows[:, None, None],
-                          bsr_mod.block_diag(mat), eye[None])
-            # jnp.linalg.inv here, NOT sym_block_inv: the analytic
-            # inverse inside the assembled-MG program triggers an
-            # XLA:TPU compiler abort (signal 6, jellyfish
-            # windowing_util.cc:636, 2026-08-21); these per-level
-            # diagonals are small, so LU cost is negligible here
-            Dinv = jnp.linalg.inv(D)
-            mul, proj = _level_ops_rows(level, mat)
-            v0 = free_rows[:, None] * jnp.ones((1, dim), F_n.dtype)
         else:
             mats.append(None)
-            D = obj_mod.elastic_block_diag(
-                level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active, dim,
-                scatter=level.scatter,
-            )
-            Dinv = jnp.linalg.inv(D)  # see compiler-abort note above
-            mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
-            v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
-        diag_inv.append(Dinv)
+            mat = None
         need_lmax = cfg.smoother == "chebyshev" and (
             l < len(mg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
-        if need_lmax:
-            lam = _power_iteration_lmax(mul, proj, Dinv, v0, cfg.power_iters)
-        else:
-            lam = jnp.ones((), F_n.dtype)
+        Dinv, lam = run(
+            lambda lv, m_, F, cx, V0_, nl=need_lmax: _level_smoother_data(
+                lv, m_, F, cx, V0_, dt, cfg, nl, dim),
+            level, mat, F_n, ctx, V0)
+        diag_inv.append(Dinv)
         lmax.append(lam)
     chol = None
     if (cfg.coarse_solver == "direct" and reuse is not None
@@ -670,13 +724,15 @@ def build_precond(
             )
         if galerkin and mats[-1] is not None:
             # factor the already-built Galerkin coarsest operator
-            lv = mg.levels[-1]
-            chol = (_dense_factor_from_mat(mats[-1],
-                                           _free_rows_of(lv, mats[-1]), dim),
-                    mats[-1])
+            chol = (run(
+                lambda lv, m_: _dense_factor_from_mat(
+                    m_, _free_rows_of(lv, m_), dim),
+                mg.levels[-1], mats[-1]), mats[-1])
         else:
-            chol = _coarse_dense_factor(mg.levels[-1], F_n, ctx, V0, dt, dim,
-                                        capacity=cfg.coarse_capacity)
+            chol = run(
+                lambda lv, F, cx, V0_: _coarse_dense_factor(
+                    lv, F, cx, V0_, dt, dim, capacity=cfg.coarse_capacity),
+                mg.levels[-1], F_n, ctx, V0)
     return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                      coarse_chol=chol,
                      mats=tuple(mats) if any_assembled else ())
@@ -764,6 +820,18 @@ def _coarse_dense_solve(chol_and_mat, b, n_nodes: int):
 
 
 def _bapply(B, v):
+    """Block-diagonal application; B either (n, d, d) or FLAT (n, d*d)
+    (matrix-free dense levels store flat inverses — the (n, 3, 3) form
+    consumed in-program pads 113x at 128^3, probe_mg_build_mem)."""
+    if B.ndim == 2:
+        d = v.shape[-1]
+        cols = []
+        for a in range(d):
+            acc = B[:, a * d] * v[:, 0]
+            for b in range(1, d):
+                acc = acc + B[:, a * d + b] * v[:, b]
+            cols.append(acc)
+        return jnp.stack(cols, axis=-1)
     return jnp.einsum("nij,nj->ni", B, v)
 
 

@@ -80,12 +80,28 @@ def main():
     plan = capacity.plan_capacities(cfg, state.x)
     caps = plan.bin_caps or (max(1024, state.n // 4), 16)
 
+    def _mem():
+        # axon plugin has no memory_stats(); account Python-live arrays
+        # (excludes XLA temps, includes every resident the GC still holds)
+        try:
+            tot = sum(a.nbytes for a in jax.live_arrays())
+            return f"live={tot / 2**30:.2f}G"
+        except Exception:  # noqa: BLE001
+            return "mem=?"
+
+    def _top_arrays(k=8):
+        arrs = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)[:k]
+        for a in arrs:
+            print(f"  live {a.nbytes / 2**20:7.1f}M {a.dtype} {a.shape}",
+                  file=sys.stderr, flush=True)
+
     def phase(name, fn, *xs):
         t0 = time.perf_counter()
         out = fn(*xs)
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
         t1 = time.perf_counter()
-        print(f"[{name}] {t1 - t0:.2f}s", file=sys.stderr, flush=True)
+        print(f"[{name}] {t1 - t0:.2f}s {_mem()}", file=sys.stderr,
+              flush=True)
         return out, (t1 - t0) * 1e3
 
     # ---- system setup (transfers + objective), own executions ----------
@@ -153,6 +169,9 @@ def main():
 
         k_jit = jax.jit(k_iters)
         z0 = jax.jit(precond)(opers, b)
+        print(f"[{label}] |z0|={float(jnp.linalg.norm(z0)):.3e} "
+              f"finite={bool(jnp.all(jnp.isfinite(z0)))}",
+              file=sys.stderr, flush=True)
         carry = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0))
         # compile + warm the chunk on a throwaway carry
         _ = jax.block_until_ready(k_jit(carry, opers)[1])
@@ -195,10 +214,23 @@ def main():
             mg_composed_caps=plan_mg.mg_composed_caps,
             mg_ncomposed_caps=plan_mg.mg_ncomposed_caps)),
         state.x, state.m, constrained)
-    pre, build_ms = phase("mg-build", jax.jit(
-        lambda mg_, F, c, V0: mg_mod.build_precond(mg_, F, c, V0, dt, mgc,
-                                                   dim)),
-        mg_static, state.F, ctx, state.V0)
+    # PHASED build: each piece (one level's assembly/RAP, smoother data,
+    # coarse factor) its own execution — the fused program's overlapped
+    # buffer lifetimes need 12.6 GB of temps at 128^3 (largest single
+    # piece: 3.0 GB, probe_mg_build_mem) and runtime-OOM on top of this
+    # harness's solve residents; phased, the peak is max(piece)+residents
+    _top_arrays()
+
+    def _piece_exe(f, *a):
+        out = jax.jit(f)(*a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        print(f"  [piece] done {_mem()}", file=sys.stderr, flush=True)
+        return out
+
+    pre, build_ms = phase("mg-build",
+                          lambda mg_, F, c, V0: mg_mod.build_precond(
+                              mg_, F, c, V0, dt, mgc, dim, exe=_piece_exe),
+                          mg_static, state.F, ctx, state.V0)
     # CL apply params built only now — ~1 GB that must not sit in HBM
     # under the composed level-1 assembly peak
     params, _ = phase("cl-params", jax.jit(

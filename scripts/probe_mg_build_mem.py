@@ -261,19 +261,46 @@ def main():
         report("rap_chain", jax.jit(rap_chain).lower(mat_l1))
 
         def l0_smoother_data(F, cx, V0):
-            lv0 = mg_static.levels[0]
-            D = obj_mod.elastic_block_diag(
-                lv0.stencil, F, cx, V0, dt, lv0.grid_m, lv0.active, dim,
-                scatter=lv0.scatter)
-            Dinv = jnp2.linalg.inv(D)
-            mul, proj = mg_mod._level_ops_dense(lv0, F, cx, V0, dt)
-            v0p = lv0.free[:, None] * jnp2.ones((1, dim), F.dtype)
-            lam = mg_mod._power_iteration_lmax(mul, proj, Dinv, v0p,
-                                               mgc.power_iters)
-            return Dinv, lam
+            return mg_mod._level_smoother_data(
+                mg_static.levels[0], None, F, cx, V0, dt, mgc, True, dim)
 
         report("l0_diag_lmax",
                jax.jit(l0_smoother_data).lower(state.F, ctx, state.V0))
+        lv0 = mg_static.levels[0]
+        print(json.dumps({"probe": "l0_info",
+                          "bins": lv0.bins is not None,
+                          "compact": bool(lv0.compact)}), flush=True)
+
+        def l0_diag_only(F, cx, V0):
+            lv0 = mg_static.levels[0]
+            D = obj_mod.elastic_block_diag(
+                lv0.stencil, F, cx, V0, dt, lv0.grid_m, lv0.active, dim,
+                scatter=lv0.scatter, flat=True)
+            return obj_mod.sym_block_inv_flat(D, dim)
+
+        report("l0_diag_only",
+               jax.jit(l0_diag_only).lower(state.F, ctx, state.V0))
+
+        def l0_lmax_only(Dinv, F, cx, V0):
+            lv0 = mg_static.levels[0]
+            mul, proj = mg_mod._level_ops_dense(lv0, F, cx, V0, dt)
+            v0p = lv0.free[:, None] * jnp2.ones((1, dim), F.dtype)
+            return mg_mod._power_iteration_lmax(mul, proj, Dinv, v0p,
+                                                mgc.power_iters)
+
+        Dinv0 = jnp2.zeros((mg_static.levels[0].grid_m.shape[0], dim * dim),
+                           state.F.dtype)
+        report("l0_lmax_only",
+               jax.jit(l0_lmax_only).lower(Dinv0, state.F, ctx, state.V0))
+
+        def l0_one_apply(F, cx, V0, w):
+            lv0 = mg_static.levels[0]
+            return mg_mod.level_multiply(lv0, F, cx, V0, dt, w)
+
+        w0 = jnp2.zeros((mg_static.levels[0].grid_m.shape[0], dim),
+                        state.F.dtype)
+        report("l0_one_apply",
+               jax.jit(l0_one_apply).lower(state.F, ctx, state.V0, w0))
         print(json.dumps({
             "probe": "caps",
             "p_bins": list(lvl.comp.p_bins.p_cell.shape),
