@@ -343,11 +343,29 @@ def phase_mg():
                     r["step_ms"] / max(r["newton"], 1), 1))
 
 
+def _mg128_extras(r: dict) -> dict:
+    """Flatten a bench_mg_solve JSON record into mg128_* extras — the
+    north-star A/B (BASELINE.json:2/9): MG-PCG vs block-Jacobi-PCG
+    per-Newton wall time at 128^3."""
+    out = {}
+    for side in ("mg", "jacobi"):
+        if side in r:
+            out[f"mg128_{side}_cg"] = r[side]["cg"]
+            out[f"mg128_{side}_per_iter_ms"] = r[side]["per_iter_ms"]
+            out[f"mg128_{side}_newton_ms"] = r[side]["newton_ms"]
+            out[f"mg128_{side}_build_ms"] = r[side]["build_ms"]
+    return out
+
+
+# mg128 is dispatched by main() straight to scripts/bench_mg_solve.py
+# (any python child here claims the TPU at interpreter start, so the
+# usual bench.py --phase middle process would deadlock the harness)
 PHASES = {
     "spmv": (phase_spmv, 2400),
     "apply": (phase_apply, 1200),
     "steps": (phase_steps, 1800),
     "mg": (phase_mg, 2400),
+    "mg128": (None, 4800),
 }
 
 
@@ -361,16 +379,23 @@ def main():
         "vs_baseline": 0.0,
         "extra": {},
     }
-    phases = os.environ.get("BENCH_PHASES", "spmv,apply,steps,mg").split(",")
+    phases = os.environ.get(
+        "BENCH_PHASES", "spmv,apply,steps,mg,mg128").split(",")
     if os.environ.get("BENCH_SKIP_MG") == "1" and "mg" in phases:
         phases.remove("mg")
     for name in phases:
         fn, tmo = PHASES[name]
         _mark(f"phase {name} (subprocess)")
+        if name == "mg128":
+            cmd = [sys.executable,
+                   os.path.join(REPO, "scripts", "bench_mg_solve.py"),
+                   "--res", "128"]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--phase", name]
         try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=tmo, cwd=REPO)
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=tmo, cwd=REPO)
             lines = [l for l in p.stdout.strip().splitlines()
                      if l.startswith("{")]
             if p.returncode != 0 or not lines:
@@ -378,6 +403,8 @@ def main():
                 out["extra"][f"{name}_error"] = f"rc={p.returncode} {tail}"
             else:
                 r = json.loads(lines[-1])
+                if name == "mg128":
+                    r = _mg128_extras(r)
                 out["value"] = r.pop("value", out["value"])
                 out["vs_baseline"] = r.pop("vs_baseline", out["vs_baseline"])
                 if r.get("spmv_res") == 64:

@@ -221,22 +221,51 @@ def _cells_to_grid(bins: CellBins, S, res: Tuple[int, ...], s: int, c: int):
     return grid.reshape(c, n_cells).T
 
 
-def _grid_windows(grid_vals, res: Tuple[int, ...]):
-    """(n_nodes[, c]) -> (n_cells, 3^dim, c) stencil windows, all static
-    shifts: W[cell, k] = grid value at node (cell + offset_k)."""
+def _grid_windows_flat(grid_vals, res: Tuple[int, ...], impl: str = "stack"):
+    """(n_nodes[, c]) -> (n_cells, 3^dim * c) stencil windows in k-major
+    FLAT layout, all static shifts: col k*c + a = component a of the grid
+    value at node (cell + offset_k).
+
+    NEITHER form wins everywhere (both measured at 128^3, round 5):
+    impl="stack" (c-minor shifted planes, the production default) is what
+    the fused linearize program compiles against — the CL form there
+    blows compile memory to 28 GB; impl="cl" is required by the mode
+    apply's power-iteration/smoother loops, where the stack form's
+    (res..., c) pads leave ~20 x 1.0 GB remat clones. Pass the form the
+    consuming program was validated with."""
     vec = grid_vals.ndim == 2
     c = grid_vals.shape[1] if vec else 1
-    g = (grid_vals if vec else grid_vals[:, None]).reshape(tuple(res) + (c,))
     dim = len(res)
     s = 3**dim
     offs, _, _ = _static_offsets(res)
+    if impl == "cl":
+        gT = (grid_vals.T if vec
+              else grid_vals[None]).reshape((c,) + tuple(res))
+        win = []
+        for k in range(s):
+            off = tuple(int(o) for o in offs[k])
+            src = gT[(slice(None),) + tuple(slice(o, None) for o in off)]
+            pad = [(0, 0)] + [(0, int(o)) for o in off]
+            win.append(jnp.pad(src, pad).reshape(c, -1))  # (c, n_cells)
+        Wcl = jnp.concatenate(win, axis=0)                # (s*c, n_cells)
+        return Wcl.T                                      # k-major cols
+    g = (grid_vals if vec else grid_vals[:, None]).reshape(tuple(res) + (c,))
     win = []
     for k in range(s):
         off = tuple(int(o) for o in offs[k])
         src = g[tuple(slice(o, None) for o in off)]
         pad = [(0, int(o)) for o in off] + [(0, 0)]
         win.append(jnp.pad(src, pad))
-    return jnp.stack(win, axis=-2).reshape(-1, s, c)
+    return jnp.stack(win, axis=-2).reshape(-1, s * c)
+
+
+def _grid_windows(grid_vals, res: Tuple[int, ...]):
+    """(n_nodes[, c]) -> (n_cells, 3^dim, c) stencil windows (split view
+    of the flat form — SPLIT reshapes are the layout-safe direction)."""
+    vec = grid_vals.ndim == 2
+    c = grid_vals.shape[1] if vec else 1
+    s = 3 ** len(res)
+    return _grid_windows_flat(grid_vals, res).reshape(-1, s, c)
 
 
 def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
@@ -253,7 +282,8 @@ def window_gather(bins: CellBins, grid_vals, res: Tuple[int, ...]):
     return out if vec else out[..., 0]
 
 
-def window_gather_flat(bins: CellBins, grid_vals, res: Tuple[int, ...]):
+def window_gather_flat(bins: CellBins, grid_vals, res: Tuple[int, ...],
+                       impl: str = "stack", fence: bool = False):
     """Flat-layout stencil gather: (n_nodes[, c]) -> (n, 3^dim * c),
     k-major. The per-particle row gather runs on (n_cells, s*c) FLAT rows:
     gathering the same bytes as (n_cells, s, c) R3 rows measured 4.0 ms vs
@@ -263,7 +293,15 @@ def window_gather_flat(bins: CellBins, grid_vals, res: Tuple[int, ...]):
     vec = grid_vals.ndim == 2
     c = grid_vals.shape[1] if vec else 1
     s = 3 ** len(res)
-    W = _grid_windows(grid_vals, res).reshape(-1, s * c)
+    W = _grid_windows_flat(grid_vals, res, impl=impl)
+    if fence:
+        # materialize the windows ONCE per surrounding loop iteration:
+        # inside smoother/power-iteration loops XLA rematerializes the
+        # window build per consumer use and schedules ~20 padded clones
+        # concurrently (20 x 1.0 GB at 128^3 — the round-5 level-0 apply
+        # OOM); the barrier pins one (n_cells, s*c) materialization
+        # (1.58x padded, ~1.1 GB at 128^3)
+        W = barrier(W)
     return W[bins.cell_of]                           # (n, s*c) row gather
 
 

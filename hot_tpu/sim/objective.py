@@ -193,6 +193,32 @@ def elastic_hessian_apply(stencil, F_n, ctx, V0, dt, grid_m, active, w,
     return jnp.where(active[:, None], out, w)
 
 
+def elastic_hessian_apply_cl(s: int, grid_m, active, dt, params_cl, w,
+                             bins, res, interpret: bool = False):
+    """multiply_cl without an ObjectiveContext — the PRODUCTION fused CL
+    apply driven from multigrid level data (grid masses/activity/bins +
+    a per-Newton params_cl block built from the level's stencil).
+
+    Why: the V-cycle's matrix-free level-0 smoothing through the
+    pure-XLA mode apply measured ~4.9 s per preconditioned CG iteration
+    at 128^3 while the SAME operator through this kernel costs jacobi
+    64 ms/iteration total — the CL path is the only apply form at
+    production speed on this device (round 5)."""
+    from hot_tpu.ops import pallas_apply as pk
+
+    d = w.shape[-1]
+    n_pad = params_cl[0].shape[1] * pk.LANES
+    rows = transfer.window_gather_flat(bins, w, res)        # (n, s*d)
+    n = rows.shape[0]
+    vi_cl = pk._to_cl(rows, n_pad)
+    out_cl = pk.fused_contrib_cl([vi_cl] + list(params_cl), dt,
+                                 s=s, dim=d, interpret=interpret)
+    contrib = out_cl.reshape(s * d, n_pad).T[:n]            # (n, s*d)
+    df = transfer.binned_scatter_flat(bins, contrib, res, d)
+    out = grid_m[:, None] * w - dt * df
+    return jnp.where(active[:, None], out, w)
+
+
 def elastic_hessian_apply_modes_flat(stencil, F_n, ctx, V0, dt, grid_m,
                                      active, w, bins, res):
     """Matrix-free (M + dt^2 K) w via the rank-1 MODE factorization in
@@ -220,7 +246,10 @@ def elastic_hessian_apply_modes_flat(stencil, F_n, ctx, V0, dt, grid_m,
     sd = s * d
     Z, lam = bsr_mod._mode_vectors(stencil, F_n, ctx, V0, dt, d)
     Mm = lam.shape[1]
-    rows = transfer.window_gather_flat(bins, w, res)          # (n, s*d) k-major
+    # fence=True: without it the window build is rematerialized ~20x
+    # concurrently inside this apply's smoother/power-iteration loops
+    # (20 x 1.0 GB padded clones at 128^3 — see window_gather_flat)
+    rows = transfer.window_gather_flat(bins, w, res, fence=True)  # (n, s*d)
     # q_m = z_m . window  (Z columns are b*s + j — component-major)
     qs = []
     for m_ in range(Mm):

@@ -146,6 +146,11 @@ class MGPrecond(NamedTuple):
     # rebuilt once per Newton iteration and reused by every smoother /
     # residual application in the V-cycle (None entries = matrix-free level)
     mats: Tuple[object, ...] = ()
+    # per-level fused-CL apply parameter blocks (ops.pallas_apply
+    # params_cl) for MATRIX-FREE dense binned levels on TPU — the
+    # production-speed apply form; None entries fall back to the
+    # mode/generic apply (see objective.elastic_hessian_apply_cl)
+    params_cl: Tuple[object, ...] = ()
 
 
 def coarse_res(res: Tuple[int, ...]) -> Tuple[int, ...]:
@@ -521,8 +526,36 @@ def _level_ops_dense(level: MGLevel, F_n, ctx, V0, dt):
     return mul, proj
 
 
+def _level_params_cl(level: MGLevel, F_n, ctx, V0):
+    """Per-Newton fused-CL apply parameters for a matrix-free dense level
+    (built once, reused by every smoother/residual apply of the solve)."""
+    from hot_tpu.ops import pallas_apply as pk
+
+    n = level.stencil.wn.shape[0]
+    return tuple(pk.params_cl(level.stencil.gwn, F_n, ctx.U, ctx.V, ctx.A,
+                              ctx.b_plus, ctx.b_minus, V0, pk.n_padded(n)))
+
+
+def _pcl_of(pre: "MGPrecond", l: int):
+    return pre.params_cl[l] if pre.params_cl else None
+
+
+def _mf_mul(level: MGLevel, pcl, F_n, ctx, V0, dt):
+    """Best matrix-free level multiply: the fused-CL production apply
+    when params are available (TPU, dense binned level), the flat-mode /
+    generic apply otherwise. Both include the active-node identity."""
+    if pcl is not None:
+        s = level.stencil.wn.shape[1]
+        interp = jax.default_backend() != "tpu"
+        return lambda w: obj_mod.elastic_hessian_apply_cl(
+            s, level.grid_m, level.active, dt, pcl, w, level.bins,
+            level.res, interpret=interp)
+    return lambda w: level_multiply(level, F_n, ctx, V0, dt, w)
+
+
 def _level_smoother_data(level: MGLevel, mat, F_n, ctx, V0, dt,
-                         cfg: MultigridConfig, need_lmax: bool, dim: int):
+                         cfg: MultigridConfig, need_lmax: bool, dim: int,
+                         pcl=None):
     """One level's per-Newton smoother data: block-diagonal inverse +
     (Chebyshev) power-iteration lambda_max. mat = the level's explicit
     operator (tile-row or compressed-row), None for matrix-free levels."""
@@ -552,8 +585,26 @@ def _level_smoother_data(level: MGLevel, mat, F_n, ctx, V0, dt,
             level.stencil, F_n, ctx, V0, dt, level.grid_m, level.active,
             dim, scatter=level.scatter, flat=True,
         )
+        # fp32 smoother-stability floor: fringe active nodes (stencil-tail
+        # masses ~1e-20) give Dinv rows ~1e14 at 128^3, and Chebyshev
+        # iterates THROUGH such rows (z = Dinv r, then A z) compound to
+        # fp32 overflow — the 128^3 V-cycle NaN (round 5; 64^3 per-node
+        # masses are 8x larger and never hit it). Floor the diagonal at
+        # 1e-10 x the level's max diagonal: caps |Dinv r| at ~1e10/dmax
+        # scales (safe under fp32's 3.4e38 through squared dots) while
+        # perturbing only negligible-coupling rows. f64 needs no floor
+        # and legitimately carries larger dynamic range (a 1e-7 floor
+        # measured 87-vs-20 CG regressions on the f64 CPU suites).
+        if D.dtype == jnp.float32:
+            dmax = jnp.max(D[:, 0::dim + 1])
+            floor = jnp.asarray(1e-10, D.dtype) * dmax
+            for i in range(dim):
+                col = i * dim + i
+                D = D.at[:, col].set(jnp.maximum(D[:, col], floor))
         Dinv = obj_mod.sym_block_inv_flat(D, dim)
-        mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
+        # lmax must bound the SAME operator the smoother applies
+        mul = _mf_mul(level, pcl, F_n, ctx, V0, dt)
+        proj = lambda r: level_project(level, r)
         v0 = level.free[:, None] * jnp.ones((1, dim), F_n.dtype)
     if need_lmax:
         lam = _power_iteration_lmax(mul, proj, Dinv, v0, cfg.power_iters)
@@ -596,6 +647,7 @@ def build_precond(
     diag_inv = []
     lmax = []
     mats = []
+    params_cl = []
     any_assembled = any(lv.mat_sym is not None for lv in mg.levels)
     galerkin = cfg.coarsening == "galerkin" and any_assembled
     first_asm = next(
@@ -615,6 +667,7 @@ def build_precond(
             # lmax are the consistent (and already computed) ones
             diag_inv.append(reuse.diag_inv[l])
             lmax.append(reuse.lmax[l])
+            params_cl.append(None)
             continue
         if level.mat_sym is not None:
             from hot_tpu.ops import bsr as bsr_mod
@@ -703,10 +756,16 @@ def build_precond(
         need_lmax = cfg.smoother == "chebyshev" and (
             l < len(mg.levels) - 1 or cfg.coarse_solver == "smoother"
         )
+        use_cl = (mat is None and level.bins is not None
+                  and not level.compact
+                  and jax.default_backend() == "tpu")
+        pcl = (run(lambda lv, F, cx, V0_: _level_params_cl(lv, F, cx, V0_),
+                   level, F_n, ctx, V0) if use_cl else None)
+        params_cl.append(pcl)
         Dinv, lam = run(
-            lambda lv, m_, F, cx, V0_, nl=need_lmax: _level_smoother_data(
-                lv, m_, F, cx, V0_, dt, cfg, nl, dim),
-            level, mat, F_n, ctx, V0)
+            lambda lv, m_, p_, F, cx, V0_, nl=need_lmax: _level_smoother_data(
+                lv, m_, F, cx, V0_, dt, cfg, nl, dim, pcl=p_),
+            level, mat, pcl, F_n, ctx, V0)
         diag_inv.append(Dinv)
         lmax.append(lam)
     chol = None
@@ -735,7 +794,8 @@ def build_precond(
                 mg.levels[-1], F_n, ctx, V0)
     return MGPrecond(diag_inv=tuple(diag_inv), lmax=tuple(lmax), ctx=ctx,
                      coarse_chol=chol,
-                     mats=tuple(mats) if any_assembled else ())
+                     mats=tuple(mats) if any_assembled else (),
+                     params_cl=tuple(params_cl))
 
 
 def _coarse_dense_factor(level: MGLevel, F_n, ctx, V0, dt, dim: int,
@@ -984,7 +1044,8 @@ def _smooth(level, F_n, ctx, V0, dt, pre: MGPrecond, l: int, cfg: MultigridConfi
                     color = color | ((coords[:, k] & 1) << k)
             else:
                 color = _parity_colors(None, level.res)
-        mul, proj = _level_ops_dense(level, F_n, ctx, V0, dt)
+        mul = _mf_mul(level, _pcl_of(pre, l), F_n, ctx, V0, dt)
+        proj = lambda r: level_project(level, r)
         return _smooth_ops(mul, proj, pre, l, cfg, b, x, iters,
                            color=color, n_colors=n_colors)
     mul, proj = _level_ops_rows(level, mat)
@@ -1069,9 +1130,12 @@ def v_cycle(mg: MGStatic, pre: MGPrecond, F_n, ctx, V0, dt,
             return _from_rows(level, cmat, res.x)
         return _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.coarse_iters)
     x = _smooth(level, F_n, ctx, V0, dt, pre, l, cfg, b, x, cfg.pre_smooth)
-    r = level_project(
-        level, b - level_multiply_any(level, _mat_of(pre, l), F_n, ctx, V0, dt, x)
-    )
+    mat_l = _mat_of(pre, l)
+    if mat_l is None and _pcl_of(pre, l) is not None:
+        Ax = _mf_mul(level, _pcl_of(pre, l), F_n, ctx, V0, dt)(x)
+    else:
+        Ax = level_multiply_any(level, mat_l, F_n, ctx, V0, dt, x)
+    r = level_project(level, b - Ax)
     n_coarse = mg.levels[l + 1].grid_m.shape[0]
     r_c = restrict(mg.embeds[l], r, n_coarse, bins=mg.embed_bins[l],
                    res_coarse=mg.levels[l + 1].res)

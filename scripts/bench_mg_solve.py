@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=5)
     ap.add_argument("--max-cg", type=int, default=100)
     ap.add_argument("--dt", type=float, default=2e-3)
+    ap.add_argument("--warm-chunks", type=int, default=3,
+                    help="throwaway PCG chunk executions before timing "
+                         "(retires the post-compile re-opt window)")
     ap.add_argument("--from-level", type=int, default=None,
                     help="multigrid.assembled_from_level (default: 1 when "
                          "res >= 128 — the level-0 explicit BSR is ~8.7 GB "
@@ -173,21 +176,31 @@ def main():
               f"finite={bool(jnp.all(jnp.isfinite(z0)))}",
               file=sys.stderr, flush=True)
         carry = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0))
-        # compile + warm the chunk on a throwaway carry
-        _ = jax.block_until_ready(k_jit(carry, opers)[1])
+        # compile + warm the chunk on a throwaway carry: the first timed
+        # executions after compile run 10-100x slow (background re-opt),
+        # so season with several data-dependent throwaway chunks
+        warm = carry
+        for _ in range(args.warm_chunks):
+            warm = k_jit(warm, opers)
+        jax.block_until_ready(warm[1])
         iters = 0
+        chunk_ms = []
         t0 = time.perf_counter()
         while iters < args.max_cg:
+            tc = time.perf_counter()
             carry = k_jit(carry, opers)
+            rnorm = float(jnp.linalg.norm(carry[1]))   # sync point
+            chunk_ms.append((time.perf_counter() - tc) * 1e3)
             iters += args.chunk
-            rnorm = float(jnp.linalg.norm(carry[1]))
-            print(f"[{label}] cg={iters} |r|/|b|={rnorm / b_norm:.3e}",
+            print(f"[{label}] cg={iters} |r|/|b|={rnorm / b_norm:.3e} "
+                  f"chunk={chunk_ms[-1]:.0f}ms",
                   file=sys.stderr, flush=True)
             if rnorm <= args.tol * b_norm:
                 break
         wall = time.perf_counter() - t0
-        return iters, wall / iters * 1e3, float(
-            jnp.linalg.norm(carry[1]) / b_norm)
+        return dict(iters=iters, per_ms=wall / iters * 1e3,
+                    per_ms_best=min(chunk_ms) / args.chunk,
+                    rel=float(jnp.linalg.norm(carry[1]) / b_norm))
 
     # MG FIRST (the hierarchy is the big resident; jacobi's Dinv is small
     # and runs after the hierarchy is freed). At >=128^3 the finest level
@@ -231,6 +244,14 @@ def main():
                           lambda mg_, F, c, V0: mg_mod.build_precond(
                               mg_, F, c, V0, dt, mgc, dim, exe=_piece_exe),
                           mg_static, state.F, ctx, state.V0)
+    # WARM rebuild: the first build pays per-piece compiles + the re-opt
+    # window; the steady per-Newton build cost is the second pass
+    _exe2 = lambda f, *a: jax.jit(f)(*a)
+    pre, build_warm_ms = phase(
+        "mg-build-warm",
+        lambda mg_, F, c, V0: mg_mod.build_precond(
+            mg_, F, c, V0, dt, mgc, dim, exe=_exe2),
+        mg_static, state.F * (1.0 + 1e-7), ctx, state.V0)
     # CL apply params built only now — ~1 GB that must not sit in HBM
     # under the composed level-1 assembly peak
     params, _ = phase("cl-params", jax.jit(
@@ -241,13 +262,17 @@ def main():
         return obj_mod.project(obj_, mg_mod.mg_precondition(
             mg_, pre_, F, V0, dt, mgc, rr))
 
-    it, per_ms, final = pcg(
+    r_mg = pcg(
         mg_pre, (obj, params, bins, (mg_static, pre, state.F, state.V0)),
         "mg")
+    it, per_ms = r_mg["iters"], r_mg["per_ms_best"]
     out["mg"] = dict(cg=it, per_iter_ms=round(per_ms, 2),
-                     build_ms=round(build_ms, 1),
-                     static_ms=round(static_ms, 1), rel=final,
-                     newton_ms=round(build_ms + lin_ms + it * per_ms, 1))
+                     per_iter_ms_wall=round(r_mg["per_ms"], 2),
+                     build_ms=round(build_warm_ms, 1),
+                     build_cold_ms=round(build_ms, 1),
+                     static_ms=round(static_ms, 1), rel=r_mg["rel"],
+                     newton_ms=round(build_warm_ms + lin_ms + it * per_ms,
+                                     1))
     print(json.dumps(out), flush=True)
     del mg_static, pre      # free the hierarchy before jacobi
 
@@ -261,9 +286,11 @@ def main():
         obj_, _, _, Dinv_ = op
         return obj_mod.project(obj_, jnp.einsum("nij,nj->ni", Dinv_, rr))
 
-    it, per_ms, final = pcg(bj_pre, (obj, params, bins, Dinv), "jacobi")
+    r_bj = pcg(bj_pre, (obj, params, bins, Dinv), "jacobi")
+    it, per_ms = r_bj["iters"], r_bj["per_ms_best"]
     out["jacobi"] = dict(cg=it, per_iter_ms=round(per_ms, 2),
-                         build_ms=round(bj_build_ms, 1), rel=final,
+                         per_iter_ms_wall=round(r_bj["per_ms"], 2),
+                         build_ms=round(bj_build_ms, 1), rel=r_bj["rel"],
                          newton_ms=round(bj_build_ms + lin_ms + it * per_ms, 1))
     out["total_s"] = round(time.perf_counter() - t_all, 1)
     print(json.dumps(out), flush=True)
