@@ -234,24 +234,48 @@ def main():
     # harness's solve residents; phased, the peak is max(piece)+residents
     _top_arrays()
 
-    def _piece_exe(f, *a):
-        out = jax.jit(f)(*a)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        print(f"  [piece] done {_mem()}", file=sys.stderr, flush=True)
-        return out
+    class PieceExe:
+        """Phased executor that REUSES each piece's compiled executable
+        across builds (piece order is deterministic): the i-th run() of
+        every build hits the same jitted function, so a rebuild measures
+        seasoned-executable steady cost instead of fresh-jit retrace +
+        the re-opt window (a fresh-lambda rebuild measured SLOWER than
+        the cold build: 109 s vs 35 s)."""
 
+        def __init__(self, verbose=False):
+            self.fns = []
+            self.i = 0
+            self.verbose = verbose
+
+        def reset(self):
+            self.i = 0
+
+        def __call__(self, f, *a):
+            if self.i >= len(self.fns):
+                self.fns.append(jax.jit(f))
+            out = self.fns[self.i](*a)
+            self.i += 1
+            if self.verbose:
+                jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                print(f"  [piece] done {_mem()}", file=sys.stderr,
+                      flush=True)
+            return out
+
+    pexe = PieceExe(verbose=True)
     pre, build_ms = phase("mg-build",
                           lambda mg_, F, c, V0: mg_mod.build_precond(
-                              mg_, F, c, V0, dt, mgc, dim, exe=_piece_exe),
+                              mg_, F, c, V0, dt, mgc, dim, exe=pexe),
                           mg_static, state.F, ctx, state.V0)
-    # WARM rebuild: the first build pays per-piece compiles + the re-opt
-    # window; the steady per-Newton build cost is the second pass
-    _exe2 = lambda f, *a: jax.jit(f)(*a)
-    pre, build_warm_ms = phase(
-        "mg-build-warm",
-        lambda mg_, F, c, V0: mg_mod.build_precond(
-            mg_, F, c, V0, dt, mgc, dim, exe=_exe2),
-        mg_static, state.F * (1.0 + 1e-7), ctx, state.V0)
+    # WARM rebuilds on the SAME executables: a couple of seasoning passes
+    # then the timed one (steady per-Newton build cost)
+    pexe.verbose = False
+    for k in range(3):
+        pexe.reset()
+        pre, build_warm_ms = phase(
+            f"mg-build-warm{k}",
+            lambda mg_, F, c, V0: mg_mod.build_precond(
+                mg_, F, c, V0, dt, mgc, dim, exe=pexe),
+            mg_static, state.F * (1.0 + 1e-7 * (k + 1)), ctx, state.V0)
     # CL apply params built only now — ~1 GB that must not sit in HBM
     # under the composed level-1 assembly peak
     params, _ = phase("cl-params", jax.jit(
